@@ -100,6 +100,12 @@ def run_pipeline(
 
     # ---- linking: broadcast dict join ------------------------------------
     linked = linking.link_mentions(mentions, alias_df, dict_broadcast=True)
+    # ``linked`` fans out into two triple branches (typing + co-occurrence):
+    # without materialization every downstream action recomputes the whole
+    # generate->ground chain twice. At cluster scale the equivalent is
+    # writing the mention table between stages (as checkpoint_dir does for
+    # generations); locally MEMORY_AND_DISK persist is the same decision.
+    linked = linked.persist()
 
     # ---- canonicalization over the (small) entity dimension --------------
     canon = canonicalize.canonical_map(entities_df)

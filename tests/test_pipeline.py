@@ -1,0 +1,161 @@
+"""End-to-end gate: Spark pipeline vs the straight-line reference-loop oracle.
+
+BASELINE.json: P >= 0.95 AND R >= 0.95 of emitted triples vs reference
+semantics; per-row span-sequence invariant (kind, text, media_ref, order);
+checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from generative_ner_spark.functions.textops import calculate_metrics
+from generative_ner_spark.operators import detect, evaluate, linking, sink
+from generative_ner_spark.plans.pipeline import run_pipeline
+from generative_ner_spark.sources import corpus
+from generative_ner_spark.sources.synth import SynthConfig
+from tests import reference_loop
+
+CFG = SynthConfig(n_docs=120)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    docs, golds = corpus.synth_documents(spark, CFG, num_partitions=4)
+    res = run_pipeline(
+        spark, docs, golds,
+        corpus.alias_df(spark, CFG), corpus.entities_df(spark, CFG), CFG,
+    )
+    return docs, golds, res
+
+
+def test_mentions_match_reference_loop_exactly(spark, pipeline_result):
+    """Mention stage shares deterministic generation with the oracle, so the
+    span sets must be IDENTICAL (P=R=1.0), not merely >= 0.95 — any gap is a
+    plumbing bug (explode/join/batching), exactly what this pins."""
+    _, _, res = pipeline_result
+    got = {
+        (r.doc_id, r.span_offset, r.start, r.end, r.label)
+        for r in res.mentions.collect()
+    }
+    want = {
+        (m["doc_id"], m["span_offset"], m["start"], m["end"], m["label"])
+        for m in reference_loop.oracle_mentions(CFG)
+    }
+    assert got == want
+
+
+def test_triples_pr_gate(spark, pipeline_result):
+    """North rule: P >= 0.95 and R >= 0.95 vs the exact oracle. The only
+    permitted divergence is MinHash-LSH blocking recall in canonicalization."""
+    _, _, res = pipeline_result
+    got = {
+        (r.subj_id, r.pred, r.obj_id, r.doc_id, r.span_offset)
+        for r in res.triples.select(
+            "subj_id", "pred", "obj_id", "doc_id", "span_offset"
+        ).collect()
+    }
+    want = reference_loop.oracle_triples(CFG)
+    n_correct = len(got & want)
+    precision, recall, f1 = calculate_metrics(n_correct, len(got), len(want))
+    assert precision >= 0.95, f"precision {precision:.4f} < 0.95 ({len(got)} vs {len(want)})"
+    assert recall >= 0.95, f"recall {recall:.4f} < 0.95 ({len(got)} vs {len(want)})"
+
+
+def test_span_sequence_invariant(spark, pipeline_result):
+    """Output documents carry the input span sequence byte-identically:
+    (kind, text, media_ref) in offset order, per doc."""
+    docs, _, res = pipeline_result
+    out = sink.attach_predictions(docs, res.mentions)
+
+    def canon(df):
+        return {
+            r.doc_id: r.seq
+            for r in df.select(
+                "doc_id",
+                F.transform(
+                    F.array_sort(
+                        F.col("spans"),
+                    ),
+                    lambda s: F.struct(s.kind, s.text, s.media_ref, s.offset),
+                ).alias("seq"),
+            ).collect()
+        }
+
+    before = canon(docs)
+    after = canon(out.select("doc_id", "spans"))
+    assert before == after
+    # and every doc survived (media-only docs included)
+    assert out.count() == docs.count()
+
+
+def test_media_spans_carried_not_processed(spark, pipeline_result):
+    docs, _, res = pipeline_result
+    n_media_docs = docs.where(
+        F.exists("spans", lambda s: s.kind != "text")
+    ).count()
+    assert n_media_docs > 0, "corpus must contain interleaved media spans"
+    # no mention ever points at a media span (text spans only)
+    text_offsets = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).where("s.kind = 'text'").select(
+        "doc_id", F.col("s.offset").alias("span_offset")
+    )
+    orphans = res.mentions.join(
+        text_offsets, ["doc_id", "span_offset"], "left_anti"
+    )
+    assert orphans.count() == 0
+
+
+def test_spark_eval_operator_matches_reference_math(spark, pipeline_result):
+    docs, golds, res = pipeline_result
+    frame = evaluate.mention_eval_frame(res.mentions, golds)
+    m = evaluate.evaluate_predictions(frame)
+    # stub noise drops ~3% of golds, adds KeyError-path labels: recall < 1
+    assert 0.8 < m["precision"] <= 1.0
+    assert 0.8 < m["recall"] <= 1.0
+    # cross-check against pure-python eval on collected rows
+    rows = frame.collect()
+    from generative_ner_spark.functions.textops import evaluate_span_sets
+
+    pure = evaluate_span_sets(
+        (
+            [(g.start, g.end, g.label) for g in r.golds],
+            [(p.start, p.end, p.label) for p in r.preds],
+        )
+        for r in rows
+    )
+    assert abs(pure["precision"] - m["precision"]) < 1e-12
+    assert abs(pure["recall"] - m["recall"]) < 1e-12
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    cfg = SynthConfig(n_docs=30)
+    docs, golds = corpus.synth_documents(spark, cfg, num_partitions=2)
+    adf, edf = corpus.alias_df(spark, cfg), corpus.entities_df(spark, cfg)
+    ckpt = str(tmp_path / "ckpt")
+    r1 = run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt)
+    t1 = {tuple(r) for r in r1.triples.select(
+        "subj_id", "pred", "obj_id", "doc_id", "span_offset").collect()}
+    n_gen = spark.read.parquet(os.path.join(ckpt, "generations")).count()
+    r2 = run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt)
+    t2 = {tuple(r) for r in r2.triples.select(
+        "subj_id", "pred", "obj_id", "doc_id", "span_offset").collect()}
+    assert t1 == t2
+    assert spark.read.parquet(os.path.join(ckpt, "generations")).count() == n_gen
+
+
+def test_salted_link_equals_broadcast_link(spark, pipeline_result):
+    """The shuffle+salt fallback join must be semantically identical to the
+    broadcast path (same top-1 rule)."""
+    _, _, res = pipeline_result
+    adf = corpus.alias_df(spark, CFG)
+    a = linking.link_mentions(res.mentions, adf, dict_broadcast=True)
+    b = linking.link_mentions(res.mentions, adf, dict_broadcast=False)
+    key = ["doc_id", "span_offset", "start", "end", "entity_id"]
+    assert {tuple(r) for r in a.select(*key).collect()} == {
+        tuple(r) for r in b.select(*key).collect()
+    }
