@@ -1,0 +1,158 @@
+"""Deduplication operators over a document corpus — the training-data staples.
+
+Four families, each with the 100 TB rationale spelled out:
+
+* exact        — groupBy(md5(normalized text)): one shuffle on a uniformly
+                 distributed hash key; no skew possible, map-side combine.
+* MinHash-LSH  — shingle -> k minhashes -> b bands -> groupBy(band) ->
+                 in-bucket pairs -> exact-Jaccard verify. O(n·k + candidate
+                 pairs), never O(n^2). Shared machinery with
+                 canonicalize.lsh_candidate_pairs.
+* SimHash      — 64-bit signature via sign-aggregated token hashes; near-dup
+                 = small Hamming distance. Signature build is one narrow
+                 projection; banding on 4x16-bit chunks finds candidates.
+* n-gram Jaccard — exact verification metric (used by LSH verify); also
+                 exposed standalone for small candidate sets.
+
+Embedding-cosine near-dup lives in similarity.py (same LSH-bucket shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from generative_ner_spark.operators.canonicalize import (
+    lsh_candidate_pairs,
+    with_shingles,
+)
+from generative_ner_spark.operators.quality import fingerprint_col
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (fingerprint, n_docs, keep_id) with keep_id = min id — the
+    canonical survivor. Single hash-key shuffle.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """df minus exact duplicates (keeps min-id representative per group)."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def near_duplicate_pairs_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs (a < b, exact jaccard >= threshold)."""
+    return lsh_candidate_pairs(
+        df.select(F.col(id_col).alias("entity_id"), F.col(text_col).alias("name")),
+        k=k, bands=bands, n=shingle_n, jaccard_threshold=jaccard_threshold,
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    For each bit i: sum over tokens of (+1 if bit i of xxhash64(token) else
+    -1); signature bit = sign. Expressed as one aggregate expression over the
+    token array — no explode, no shuffle.
+    """
+    tokens = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    bit_terms = []
+    for i in range(64):
+        bit_terms.append(
+            f"CAST(aggregate({tokens}, 0L, (acc, t) -> acc + "
+            f"(CASE WHEN (xxhash64(t) >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 AS LONG) << {i}"
+        )
+    # OR the bits together in a balanced expression
+    expr = " | ".join(f"({t})" for t in bit_terms)
+    return df.withColumn(out, F.expr(expr))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (4 x 16-bit chunks): docs within
+    Hamming distance <= max_hamming share at least one identical chunk when
+    max_hamming <= 3 (pigeonhole), so candidate recall is exact."""
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 16 * j)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias(f"c{j}")
+                for j in range(4)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col("chunk_idx"), F.col("chunk"),
+                      F.col("id").alias("a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select(F.col("chunk_idx"), F.col("chunk"),
+                      F.col("id").alias("b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs (a, b).
+
+    Join the (small) candidate table to doc texts twice, then array ops.
+    Use after any blocking stage; never call on a full cross product.
+    """
+    sh = with_shingles(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("nm")),
+        "nm", n=n,
+    ).select("id", "shingles")
+    out = (
+        candidates
+        .join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .select("a", "b", "jaccard")
+    )
+    return out

@@ -1,0 +1,136 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``.
+
+All pure JVM-side column expressions (whole-stage codegen, no Python):
+language-ID heuristic, quality scoring, token counting, normalization
+(reference semantics, S23), document fingerprinting. Each has a DuckDB-
+checkable SQL twin in __spark_entry__.oracle_sql().
+
+The normalization column mirrors /root/reference/src/data/preprocessor.py:
+24-37 (lower, strip ASCII punctuation except ':', collapse whitespace) —
+note the column variant only covers ASCII punctuation; full Unicode parity
+(the ``string.punctuation`` set IS ascii-only) holds exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ASCII punctuation minus ':' as a regex class:
+# 0x21-0x2F, 0x3B-0x40, 0x5B-0x60, 0x7B-0x7E
+PUNC_CLASS = r"[!-/;-@\[-`{-~]"
+
+# small language-marker lexicons (stopword heuristic)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|for|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit)\b",
+    "fr": r"\b(le|la|les|et|est|pas|une|dans)\b",
+    "es": r"\b(el|la|los|las|es|y|no|una|para)\b",
+}
+
+EN_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b"
+
+
+def normalize_text_col(col: str) -> Column:
+    """normalize_answer as a codegen'd column chain (S23)."""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, PUNC_CLASS, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def token_count_col(col: str) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(F.col(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count_col(col: str) -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries
+    (a cheap BPE stand-in — counts letter-runs, digit-runs and punctuation
+    marks separately)."""
+    return F.size(
+        F.expr(f"regexp_extract_all({col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
+    )
+
+
+def marker_hits_col(col: str, pattern: str) -> Column:
+    # pattern as a literal Column — embedding '\b' in an F.expr SQL string
+    # would be parsed as a backspace escape by the SQL lexer
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(pattern), F.lit(0)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax marker hits, 'und' when all zero.
+
+    Ties break by language-code order (deterministic): greatest() over
+    structs (hits, negated index) — single projection, no shuffle.
+    """
+    langs = sorted(LANG_MARKERS)  # deterministic order
+    scored = df
+    for lang in langs:
+        scored = scored.withColumn(
+            f"_hits_{lang}", marker_hits_col(text_col, LANG_MARKERS[lang])
+        )
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"_hits_{lang}").alias("hits"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return (
+        scored.withColumn(
+            "lang_pred",
+            F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .drop(*[f"_hits_{lang}" for lang in langs])
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, token count, punct ratio, stopword
+    ratio, mean token length. Single narrow projection."""
+    n_chars = F.length(F.col(text_col))
+    n_tokens = token_count_col(text_col)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/;-@\[-`{-~]", ""))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(EN_STOPWORDS), F.lit(0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("q_punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("q_stopword_ratio"),
+        F.round(
+            (n_chars - (n_tokens - F.lit(1))) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("q_mean_token_len"),
+    )
+
+
+def fingerprint_col(col: str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Exact-dedup key; identical across engines (md5 is md5), unlike
+    xxhash64 which is Spark-specific.
+    """
+    return F.md5(normalize_text_col(col))
+
+
+def minhash_signature_col(col: str, n: int = 5) -> Column:
+    """Cross-engine MinHash scalar: min(md5(n-gram shingle)) over the text.
+
+    md5-based so a DuckDB oracle computes the identical value; the
+    xxhash64 family (canonicalize.py) is the fast path, this is the
+    verifiable path.
+    """
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
+        f"i -> md5(substring({col}, i, {n}))))"
+    )

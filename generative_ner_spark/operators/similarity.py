@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k for a single query vector: the query
+  is a literal array baked into the plan (no join at all); score is a
+  zip_with/aggregate expression (JVM, codegen), top-k via orderBy+limit
+  (Spark plans TakeOrderedAndProject — a per-partition heap + driver merge,
+  NOT a full sort shuffle; this is the right plan at any scale).
+* knn_join_topk — exact k-NN for MANY queries: block-nested-loop via
+  crossJoin of a small broadcast query set, window row_number per query.
+* lsh_bucketed_topk — the scale path: random-hyperplane LSH (SimHash for
+  vectors) buckets both sides; candidates = same-bucket pairs in any of
+  ``tables`` independent hash tables; exact cosine re-rank on candidates
+  only. Recall tunable by (tables, hyperplanes). Deterministic hyperplanes:
+  components derived from xxhash64(dim_index, table, plane) — reproducible
+  across runs with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact k-NN join: every query row gets its top-k corpus neighbors.
+
+    Queries must be broadcast-sized; the corpus side streams. The window
+    shuffles only (query_id, candidate) score rows — at scale cap corpus
+    candidates per partition first with a per-partition top-k if needed.
+    """
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign(vec_col: str, dim: int, table: int, plane: int):
+    """sign(sum_d v[d] * h(d, table, plane)) with h in {-1, +1} derived from
+    xxhash64 — a deterministic random hyperplane, no stored model."""
+    terms = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.when(
+                    (F.xxhash64(d, F.lit(table), F.lit(plane)) % 2) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda v, h: v.cast("double") * h,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (terms > 0).cast("int")
+
+
+def with_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    tables: int = 4,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Add (table, bucket) rows: bucket = integer from ``planes`` sign bits."""
+    buckets = []
+    for t in range(tables):
+        bits = None
+        for p in range(planes):
+            bit = _hyperplane_sign(vec_col, dim, t, p) * F.lit(2 ** p)
+            bits = bit if bits is None else bits + bit
+        buckets.append(F.struct(F.lit(t).alias("table"), bits.alias(out)))
+    return embeddings.select(
+        "*", F.explode(F.array(*buckets)).alias("_tb")
+    ).select("*", F.col("_tb.table").alias("lsh_table"), F.col(f"_tb.{out}").alias(out)).drop("_tb")
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: probe only the query's LSH buckets, exact re-rank inside them."""
+    spark = embeddings.sparkSession
+    corpus = with_lsh_buckets(embeddings, dim, tables, planes, vec_col)
+    qdf = spark.createDataFrame([(0, [float(x) for x in query])],
+                                f"qid INT, qvec ARRAY<FLOAT>")
+    qb = with_lsh_buckets(qdf, dim, tables, planes, "qvec").select(
+        "lsh_table", "bucket", "qvec"
+    )
+    cands = corpus.join(F.broadcast(qb), ["lsh_table", "bucket"]).dropDuplicates(
+        [id_col]
+    )
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    cosine_threshold: float = 0.95,
+    tables: int = 6,
+    planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify."""
+    b = with_lsh_buckets(embeddings, dim, tables, planes, vec_col)
+    left = b.select(F.col("lsh_table"), F.col("bucket"),
+                    F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = b.select(F.col("lsh_table"), F.col("bucket"),
+                     F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        left.join(right, ["lsh_table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("a", "b", "cosine")
+    )

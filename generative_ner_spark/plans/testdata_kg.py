@@ -1,0 +1,123 @@
+"""KG pipeline over the driver's flat ``documents`` testdata table.
+
+The production input shape is the interleaved table (BASELINE.json
+input_hint); the driver's testdata ``documents`` is flat (doc_id BIGINT,
+text, lang, source, n_chars). This module adapts it deterministically:
+
+  * each row becomes one interleaved doc: text span at offset 0, plus a
+    media span at offset 1 for every 3rd doc (carry-through exercised),
+  * gold entities = whole-word matches of a fixed 6-term lexicon
+    (computed in the same Arrow batches that build the spans),
+  * the stub generator runs NOISE-FREE, so the emitted mention set is a
+    pure function of (text, lexicon) — which makes the mention counts
+    SQL-expressible and DuckDB-checkable (__spark_entry__.oracle_sql:
+    ``kg_mention_counts``).
+
+This is the flagship ``entry()`` path: real testdata in, triples out.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from generative_ner_spark import schema
+from generative_ner_spark.plans.pipeline import PipelineResult, run_pipeline
+from generative_ner_spark.sources.synth import SynthConfig
+
+# term -> reference-style label. No term is a substring of another (keeps
+# the grounded-mention count formula exact, see oracle_sql).
+LEXICON = {
+    "spark": "ORG",
+    "customer": "PER",
+    "window": "MISC",
+    "table": "LOC",
+    "stream": "MISC",
+    "vector": "ORG",
+}
+
+NOISELESS = SynthConfig(
+    noise_drop_prob=0.0,
+    noise_junk_prob=0.0,
+    noise_garbage_prob=0.0,
+    noise_unknown_type_prob=0.0,
+)
+
+
+def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> interleaved (doc_id, spans) docs."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("s3://corpus/media/img-"), F.col("doc_id")).alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    return flat.select(
+        F.concat(F.lit("tdoc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.array(text_span, media_span)
+        ).otherwise(F.array(text_span)).alias("spans"),
+    )
+
+
+def lexicon_golds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-word lexicon matches as gold entities (Arrow batches)."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    patterns = {t: re.compile(rf"\b{t}\b") for t in LEXICON}
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "span_offset": [], "start": [], "end": [],
+                   "label": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                lowered = text.lower()
+                for term, pat in patterns.items():
+                    for m in pat.finditer(lowered):
+                        out["doc_id"].append(f"tdoc-{did}")
+                        out["span_offset"].append(0)
+                        out["start"].append(m.start())
+                        out["end"].append(m.end())
+                        out["label"].append(LEXICON[term])
+            yield pd.DataFrame(out)
+
+    return flat.mapInPandas(fn, schema.GOLD_ENTITY_SCHEMA)
+
+
+def lexicon_alias_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        {"alias": t, "entity_id": f"T:{t}", "prior": 1.0, "entity_type": lbl}
+        for t, lbl in LEXICON.items()
+    ]
+    return spark.createDataFrame(rows, schema.ALIAS_SCHEMA)
+
+
+def lexicon_entities_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        {"entity_id": f"T:{t}", "name": t, "entity_type": lbl}
+        for t, lbl in LEXICON.items()
+    ]
+    return spark.createDataFrame(rows, schema.ENTITY_SCHEMA)
+
+
+def run_testdata_pipeline(spark: SparkSession, sf_dir: str,
+                          **kwargs) -> PipelineResult:
+    return run_pipeline(
+        spark,
+        interleaved_docs(spark, sf_dir),
+        lexicon_golds(spark, sf_dir),
+        lexicon_alias_df(spark),
+        lexicon_entities_df(spark),
+        NOISELESS,
+        **kwargs,
+    )

@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and, where an oracle
+exists, the matching SQL on DuckDB over the same parquet tables; compares
+row count, column names, and order-insensitive values (floats to 1e-9 rel).
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+import __spark_entry__ as entrymod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_val(x) for x in v)
+    return v
+
+
+def rows_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from generative_ner_spark.plans.session import build_session
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL {name}: spark error {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            failures.append((name, f"DUCKDB ERROR: {ex}"))
+            print(f"FAIL {name}: duckdb error {ex}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sk, dk = rows_key(srows, scols), rows_key(drows, dcols)
+            if sk != dk:
+                diff = [
+                    (a, b) for a, b in zip(sk, dk) if a != b
+                ][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name}: {len(srows)} rows match oracle")
+
+    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
