@@ -285,9 +285,9 @@ def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB can replay the semantics with string functions (see oracle)."""
     from generative_ner_spark.plans import testdata_kg
 
-    res = testdata_kg.run_testdata_pipeline(spark, sf_dir)
+    mentions = testdata_kg.testdata_mentions(spark, sf_dir)
     return (
-        res.mentions.groupBy("doc_id", "label")
+        mentions.groupBy("doc_id", "label")
         .agg(F.count("*").alias("n_mentions"))
         .orderBy("doc_id", "label")
     )

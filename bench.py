@@ -1,0 +1,114 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32),
+plus the end-to-end KG pipeline on the deterministic synthetic interleaved
+corpus, and reports per-query seconds + pipeline throughput.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {...}, "sf": ..., "kg_docs_per_sec": ...,
+         "kg_triples_per_sec": ...}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+bench_scaling.py -> BENCH/SCALING.md (separate sessions per master).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_window_topk_orders",
+    "q06_order_lineitem_join_agg",
+    "q07_user_sessions",
+    "q09_normalize_documents",
+    "q11_lang_id",
+    "q12_quality_features",
+    "q14_minhash_signature",
+    "q16_embedding_norms",
+    "q17_cosine_topk",
+    "q18_ann_lsh_topk",
+    "q19_simhash_near_dups",
+    "q20_minhash_near_dups",
+    "kg_mention_counts",
+    "kg_triples",
+]
+
+KG_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "4000"))
+
+
+def force(df) -> int:
+    """Fully materialize a DataFrame without driver collection."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from generative_ner_spark.plans.session import build_session
+    from generative_ner_spark.sources import corpus
+    from generative_ner_spark.sources.synth import SynthConfig
+    from generative_ner_spark.plans.pipeline import run_pipeline
+
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM/python workers so per-query numbers measure the plan
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    # KG pipeline throughput on the synthetic interleaved corpus
+    cfg = SynthConfig(n_docs=KG_BENCH_DOCS)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    examples = corpus.synth_examples_with_golds(spark, cfg, num_partitions=cpus * 2)
+    # materialize the INPUT before the clock starts: the benchmark measures
+    # the pipeline, not the synthetic generator (chaining two CPU-bound
+    # Python stages in one task also oversubscribes workers 2x)
+    examples = examples.persist()
+    examples.count()
+    t0 = time.time()
+    res = run_pipeline(
+        spark, None, None,
+        corpus.alias_df(spark, cfg), corpus.entities_df(spark, cfg), cfg,
+        examples_with_golds=examples,
+    )
+    n_triples = res.triples.count()
+    kg_wall = time.time() - t0
+    timings["kg_pipeline_synth"] = round(kg_wall, 3)
+    total += kg_wall
+
+    out = {
+        "metric": "headline queries + KG pipeline wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs": KG_BENCH_DOCS,
+        "kg_triples": n_triples,
+        "kg_docs_per_sec": round(KG_BENCH_DOCS / kg_wall, 2),
+        "kg_triples_per_sec": round(n_triples / kg_wall, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,18 +44,53 @@ def with_shingles(df: DataFrame, name_col: str = "name", n: int = 3,
     return df.withColumn(out, F.expr(expr))
 
 
+# Universal-hash family over the Mersenne prime 2^31-1: keeps every product
+# below 2^62, so the expressions are safe under Spark 4's default ANSI mode
+# (long-overflow would otherwise raise).
+_MH_P = (1 << 31) - 1
+
+
+def _mh_coeffs(k: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random("minhash-coeffs")
+    return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(k)]
+
+
 def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
                  out: str = "minhash") -> DataFrame:
-    """k MinHash values: minhash[i] = min over shingles of xxhash64(s, i)."""
-    hashes = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col(shingle_col), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(k)
-        ]
+    """k MinHash values via ONE string hash pass + k arithmetic permutations.
+
+    minhash[i] = min over shingles s of (a_i * h(s) + b_i) mod p with
+    h(s) = xxhash64(s) mod p — the standard universal-hash family. Hashing
+    each shingle once and permuting arithmetically is ~k× cheaper than k
+    independent string hashes (the naive form dominated the whole dedup
+    benchmark at sf0.1)."""
+    coeffs = _mh_coeffs(k)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    hashed = F.transform(
+        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P))
     )
-    return df.withColumn(out, hashes)
+    # ONE aggregate pass maintaining all k minima in an array accumulator:
+    # the expression tree is O(1) in k. (A naive k× array_min(transform(..))
+    # tree cost ~60s of driver-side Catalyst/janino time per fresh plan —
+    # fixed overhead that dwarfed small-scale runs and re-paid on every
+    # query; execution work is identical.)
+    minhash = F.aggregate(
+        F.col("_mh_hs"),
+        F.array_repeat(F.lit(_MH_P).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(h * a + b, F.lit(_MH_P))),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return (
+        df.withColumn("_mh_hs", hashed)
+        .withColumn(out, minhash)
+        .drop("_mh_hs")
+    )
 
 
 def lsh_candidate_pairs(
@@ -78,11 +113,17 @@ def lsh_candidate_pairs(
     sh = with_shingles(
         entities.select(F.col(id_col).alias("id"), F.col(name_col).alias("nm")),
         "nm", n=n,
-    )
+    ).select("id", "shingles")
+    # shingle sets reused on three plan branches (banding + both verify
+    # sides) — materialize once
+    sh = sh.persist()
     mh = with_minhash(sh, "shingles", k=k)
+    # SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
+    # arrays through the self-join shuffles ~|shingles| strings per banded
+    # row — the dominant cost at corpus scale; join them back per-id after
+    # pair generation instead.
     banded = mh.select(
         "id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -102,41 +143,67 @@ def lsh_candidate_pairs(
     capped = banded.join(
         bucket_counts.where(F.col("_bc") <= max_bucket), ["band", "band_hash"]
     )
-    a = capped.select(
-        F.col("band"), F.col("band_hash"),
-        F.col("id").alias("a"), F.col("shingles").alias("sh_a"),
-    )
-    b = capped.select(
-        F.col("band"), F.col("band_hash"),
-        F.col("id").alias("b"), F.col("shingles").alias("sh_b"),
-    )
+    a = capped.select("band", "band_hash", F.col("id").alias("a"))
+    b = capped.select("band", "band_hash", F.col("id").alias("b"))
     pairs = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        pairs.withColumn("jaccard", jac)
+    verified = (
+        pairs
+        .join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
+    return verified
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000
 ) -> DataFrame:
     """Undirected edges (a, b) -> (id, component) with component = min member.
 
-    Alternating large-star / small-star (Kiveris et al. 2014) expressed as
-    DataFrame joins; ``localCheckpoint`` truncates the logical plan each
-    round so the plan doesn't grow exponentially. Converges in O(log n)
-    rounds; each round = one groupBy shuffle over a shrinking edge set.
+    Two regimes:
+    * edge count <= ``driver_threshold``: collect + union-find on the driver
+      (milliseconds, zero extra jobs). Near-dup edge sets are SPARSE — even a
+      10^9-entity catalog typically yields << 10^8 verified near-dup pairs,
+      and 2M pairs is a few tens of MB on the driver. This collapses ~15
+      tiny-task Spark jobs of loop overhead that dominated wall-clock.
+    * larger: iterative min-label propagation (large/small-star family,
+      Kiveris et al., SoCC'14) as DataFrame joins with ``localCheckpoint``
+      per round to truncate lineage; O(log n) rounds, each one groupBy
+      shuffle over a shrinking label table.
     """
     spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = edges.select("a", "b").collect()
+        for r in rows:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r.a, r.b)}
+        out = [(x, find(x)) for x in sorted(nodes)]
+        return spark.createDataFrame(out, "id string, component string")
     # symmetrize + self-loops as (node, label) pairs; label starts as min nbr
     e = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))

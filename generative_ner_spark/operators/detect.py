@@ -145,6 +145,54 @@ _MENTION_SCHEMA = StructType(
 )
 
 
+def detect_mentions_fused(
+    examples_with_golds: DataFrame,
+    cfg: SynthConfig,
+    names2labels: dict[str, str] | None = None,
+) -> DataFrame:
+    """Single-pass prompt -> generate -> parse -> ground (one mapInPandas).
+
+    Used when no generation checkpoint is requested: skips materializing the
+    intermediate generations frame, halving Arrow (de)serialization and one
+    Python-worker stage. Semantics identical to generate_stub |> ground
+    (pinned by tests/test_pipeline.py exact-parity test, which runs the
+    two-stage path).
+    """
+    n2l = names2labels if names2labels is not None else {
+        v: k for k, v in LABELS2NAMES.items()
+    }
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("example_id", "doc_id", "span_offset", "start", "end",
+                     "label", "mention_norm")}
+            for eid, did, off, text, gold in zip(
+                pdf["example_id"], pdf["doc_id"], pdf["span_offset"],
+                pdf["text"], pdf["gold_spans"],
+            ):
+                gold_spans = [(g["start"], g["end"], g["label"]) for g in gold]
+                gen = synth.stub_generation_collective(
+                    str(eid), text, gold_spans, cfg
+                )
+                lowered = text.lower()
+                for s, e, label in textops.spans_from_generation_collective(
+                    text, gen, n2l
+                ):
+                    rows["example_id"].append(eid)
+                    rows["doc_id"].append(did)
+                    rows["span_offset"].append(off)
+                    rows["start"].append(s)
+                    rows["end"].append(e)
+                    rows["label"].append(label)
+                    rows["mention_norm"].append(
+                        textops.normalize_answer(lowered[s:e])
+                    )
+            yield pd.DataFrame(rows)
+
+    return examples_with_golds.mapInPandas(fn, _MENTION_SCHEMA)
+
+
 def ground(generations: DataFrame, names2labels: dict[str, str] | None = None) -> DataFrame:
     """Generations -> grounded mentions (one row per (start, end, label)).
 

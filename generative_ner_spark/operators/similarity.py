@@ -88,21 +88,26 @@ def knn_join_topk(
     )
 
 
+def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
+    """Deterministic ±1 hyperplane components (driver-side, md5-derived).
+
+    Precomputed into a LITERAL array so executors do a plain zip_with
+    multiply-add per row — deriving the components with per-row hash
+    expressions re-evaluated them for every vector (dominant ANN cost)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"hp:{table}:{plane}:{d}".encode()).digest()[0]
+        out.append(1.0 if h & 1 else -1.0)
+    return out
+
+
 def _hyperplane_sign(vec_col: str, dim: int, table: int, plane: int):
-    """sign(sum_d v[d] * h(d, table, plane)) with h in {-1, +1} derived from
-    xxhash64 — a deterministic random hyperplane, no stored model."""
+    """sign(v · h) for the deterministic hyperplane (t, p)."""
+    hp = F.array(*[F.lit(x) for x in _hyperplane(dim, table, plane)])
     terms = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: F.when(
-                    (F.xxhash64(d, F.lit(table), F.lit(plane)) % 2) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda v, h: v.cast("double") * h,
-        ),
+        F.zip_with(F.col(vec_col), hp, lambda v, h: v.cast("double") * h),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -27,44 +27,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_PAIRS_EXPR = """
-flatten(
-  transform(ids, (x, i) ->
-    transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))
+_TRIPLES_EXPR = """
+concat(
+  transform(typed, t -> struct(t.canonical_id AS subj_id,
+                               'instance_of' AS pred,
+                               t.entity_type AS obj_id)),
+  flatten(
+    transform(ids, (x, i) ->
+      transform(slice(ids, i + 2, size(ids) - i - 1),
+                y -> struct(x AS subj_id, 'co_occurs_with' AS pred,
+                            y AS obj_id))
+    )
   )
 )
 """
 
 
 def materialize_triples(linked_mentions: DataFrame) -> DataFrame:
-    """linked mentions (with canonical_id, entity_type) -> triple DataFrame."""
-    typing = (
-        linked_mentions.select(
-            F.col("canonical_id").alias("subj_id"),
-            F.lit("instance_of").alias("pred"),
-            F.col("entity_type").alias("obj_id"),
-            "doc_id",
-            "span_offset",
-        )
-        .dropDuplicates(["subj_id", "obj_id", "doc_id", "span_offset"])
-    )
+    """linked mentions (with canonical_id, entity_type) -> triple DataFrame.
 
-    cooc = (
+    BOTH triple kinds come out of ONE groupBy + ONE explode: per (doc, span)
+    group, the typing triples (distinct (canon, type)) and the co-occurrence
+    pairs (sorted distinct canon ids, all a < b) are built as arrays and
+    concatenated before a single explode. One shuffle total, linked read
+    exactly once — the earlier two-branch union read the mention stream
+    twice (forcing a persist) and paid a dropDuplicates shuffle for typing
+    dedup that collect_set now does inside the aggregate.
+    """
+    grouped = (
         linked_mentions.groupBy("doc_id", "span_offset")
-        .agg(F.sort_array(F.collect_set("canonical_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select("doc_id", "span_offset", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("canonical_id", "entity_type"))
+            ).alias("typed"),
+            F.sort_array(F.collect_set("canonical_id")).alias("ids"),
+        )
+    )
+    return (
+        grouped.select(
+            "doc_id", "span_offset", F.explode(F.expr(_TRIPLES_EXPR)).alias("t")
+        )
         .select(
-            F.col("p.a").alias("subj_id"),
-            F.lit("co_occurs_with").alias("pred"),
-            F.col("p.b").alias("obj_id"),
+            F.col("t.subj_id").alias("subj_id"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj_id").alias("obj_id"),
             "doc_id",
             "span_offset",
         )
-    )
-
-    return typing.unionByName(cooc).withColumn(
-        "partition_id", F.spark_partition_id()
+        .withColumn("partition_id", F.spark_partition_id())
     )
 
 

@@ -65,17 +65,33 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     sink_path: str | None = None,
     collect_metrics: bool = False,
+    examples_with_golds: DataFrame | None = None,
+    canonical_df: DataFrame | None = None,
 ) -> PipelineResult:
     """Run the full KG DAG. ``golds`` feeds only the deterministic stub
-    generator (an LLM deployment drops it, detect.py docstring)."""
+    generator (an LLM deployment drops it, detect.py docstring).
+
+    ``examples_with_golds``: optional pre-fused example frame (already
+    exploded, golds attached) — skips the explode + gold join when the
+    caller can produce both in one pass (corpus.synth_examples_with_golds,
+    testdata_kg.examples_with_golds)."""
     cfg = cfg or SynthConfig()
     t0 = time.time()
 
-    examples = detect.explode_text_spans(docs)
-    examples = detect.attach_golds(examples, golds)
+    if examples_with_golds is not None:
+        examples = examples_with_golds
+    else:
+        examples = detect.explode_text_spans(docs)
+        examples = detect.attach_golds(examples, golds)
 
     # ---- generation with checkpoint resume (prompt-hash anti-join) -------
     gen_ckpt = os.path.join(checkpoint_dir, "generations") if checkpoint_dir else None
+    if gen_ckpt is None:
+        # no resume requested: fuse prompt->generate->parse->ground into one
+        # Arrow pass (skips materializing the generations frame entirely)
+        mentions = detect.detect_mentions_fused(examples, cfg)
+        return _finish(spark, mentions, alias_df, entities_df, sink_path,
+                       collect_metrics, t0, canonical_df)
     if gen_ckpt and os.path.exists(gen_ckpt):
         cached = spark.read.parquet(gen_ckpt)
         # recompute hashes for pending examples cheaply by generating only
@@ -97,18 +113,34 @@ def run_pipeline(
             generations = spark.read.parquet(gen_ckpt)
 
     mentions = detect.ground(generations)
+    return _finish(spark, mentions, alias_df, entities_df, sink_path,
+                   collect_metrics, t0, canonical_df)
 
+
+def _finish(
+    spark: SparkSession,
+    mentions: DataFrame,
+    alias_df: DataFrame,
+    entities_df: DataFrame,
+    sink_path: str | None,
+    collect_metrics: bool,
+    t0: float,
+    canonical_df: DataFrame | None = None,
+) -> PipelineResult:
+    """Shared tail: link -> canonicalize -> triples -> sink/metrics."""
     # ---- linking: broadcast dict join ------------------------------------
     linked = linking.link_mentions(mentions, alias_df, dict_broadcast=True)
-    # ``linked`` fans out into two triple branches (typing + co-occurrence):
-    # without materialization every downstream action recomputes the whole
-    # generate->ground chain twice. At cluster scale the equivalent is
-    # writing the mention table between stages (as checkpoint_dir does for
-    # generations); locally MEMORY_AND_DISK persist is the same decision.
-    linked = linked.persist()
+    # materialize_triples reads linked exactly ONCE (fused single-groupBy
+    # design), so no persist is needed on the hot path; callers that re-use
+    # res.linked / res.mentions (tests, metrics) pay recompute or persist
+    # themselves.
 
     # ---- canonicalization over the (small) entity dimension --------------
-    canon = canonicalize.canonical_map(entities_df)
+    # canonical_df only depends on the entity dimension, never on the docs:
+    # production runs compute it once per catalog version and reuse it
+    # across every pipeline run (pass it in); recomputing per run is the
+    # fallback for ad-hoc invocations.
+    canon = canonical_df if canonical_df is not None else canonicalize.canonical_map(entities_df)
     # nil entities are their own canonical id — union them in lazily via
     # coalesce after a broadcast join (canon map is dimension-sized)
     linked = (

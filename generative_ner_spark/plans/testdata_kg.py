@@ -110,14 +110,77 @@ def lexicon_entities_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema.ENTITY_SCHEMA)
 
 
+_EXAMPLES_SCHEMA = (
+    "example_id string, doc_id string, span_offset int, text string, "
+    "gold_spans array<struct<start:bigint,end:bigint,label:string>>"
+)
+
+
+def examples_with_golds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused adapter: flat documents -> (example, gold_spans) in ONE pass.
+
+    Golds here are derived from the text itself (lexicon matches), so
+    computing them colocated with the explode avoids the generic
+    attach_golds join entirely — zero shuffles before generation. The
+    generic interleaved path (plans/pipeline.py) keeps the join because its
+    golds come from a separate table.
+    """
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    patterns = {t: re.compile(rf"\b{t}\b") for t in LEXICON}
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"example_id": [], "doc_id": [], "span_offset": [],
+                   "text": [], "gold_spans": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                lowered = text.lower()
+                golds = []
+                for term, pat in patterns.items():
+                    for m in pat.finditer(lowered):
+                        golds.append(
+                            {"start": m.start(), "end": m.end(),
+                             "label": LEXICON[term]}
+                        )
+                golds.sort(key=lambda g: (g["start"], g["end"], g["label"]))
+                out["example_id"].append(f"tdoc-{did}:0")
+                out["doc_id"].append(f"tdoc-{did}")
+                out["span_offset"].append(0)
+                out["text"].append(text)
+                out["gold_spans"].append(golds)
+            yield pd.DataFrame(out)
+
+    return flat.mapInPandas(fn, _EXAMPLES_SCHEMA)
+
+
+def testdata_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention-detection stages only (no linking/canonicalization jobs)."""
+    from generative_ner_spark.operators import detect
+
+    return detect.detect_mentions_fused(
+        examples_with_golds(spark, sf_dir), NOISELESS
+    )
+
+
 def run_testdata_pipeline(spark: SparkSession, sf_dir: str,
                           **kwargs) -> PipelineResult:
-    return run_pipeline(
-        spark,
-        interleaved_docs(spark, sf_dir),
-        lexicon_golds(spark, sf_dir),
-        lexicon_alias_df(spark),
-        lexicon_entities_df(spark),
-        NOISELESS,
-        **kwargs,
+    if kwargs.get("checkpoint_dir"):
+        # resume path needs the two-stage generation flow over the generic
+        # interleaved input
+        return run_pipeline(
+            spark,
+            interleaved_docs(spark, sf_dir),
+            lexicon_golds(spark, sf_dir),
+            lexicon_alias_df(spark),
+            lexicon_entities_df(spark),
+            NOISELESS,
+            **kwargs,
+        )
+    from generative_ner_spark.plans import pipeline as P
+    import time as _time
+
+    mentions = testdata_mentions(spark, sf_dir)
+    return P._finish(
+        spark, mentions, lexicon_alias_df(spark), lexicon_entities_df(spark),
+        kwargs.get("sink_path"), kwargs.get("collect_metrics", False),
+        _time.time(),
     )

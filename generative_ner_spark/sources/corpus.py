@@ -56,6 +56,50 @@ def synth_documents(
     return docs, golds
 
 
+_EXAMPLES_SCHEMA = (
+    "example_id string, doc_id string, span_offset int, text string, "
+    "gold_spans array<struct<start:bigint,end:bigint,label:string>>"
+)
+
+
+def synth_examples_with_golds(
+    spark: SparkSession, cfg: SynthConfig, num_partitions: int | None = None
+) -> DataFrame:
+    """Fused fast path: text-span examples WITH gold arrays in one generator
+    pass — no separate golds frame, no attach_golds join. Used by benchmarks;
+    the two-frame path exercises the generic join-based plan."""
+    catalog = synth.entity_catalog(cfg)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"example_id": [], "doc_id": [], "span_offset": [],
+                   "text": [], "gold_spans": []}
+            for i in pdf["id"]:
+                d = synth.make_document(int(i), cfg, catalog)
+                golds_by_off: dict[int, list] = {}
+                for g in d["golds"]:
+                    golds_by_off.setdefault(g["span_offset"], []).append(
+                        {"start": g["start"], "end": g["end"], "label": g["label"]}
+                    )
+                for span in d["spans"]:
+                    if span["kind"] != "text":
+                        continue
+                    off = span["offset"]
+                    gl = sorted(
+                        golds_by_off.get(off, []),
+                        key=lambda g: (g["start"], g["end"], g["label"]),
+                    )
+                    out["example_id"].append(f"{d['doc_id']}:{off}")
+                    out["doc_id"].append(d["doc_id"])
+                    out["span_offset"].append(off)
+                    out["text"].append(span["text"])
+                    out["gold_spans"].append(gl)
+            yield pd.DataFrame(out)
+
+    seed = spark.range(cfg.n_docs, numPartitions=num_partitions)
+    return seed.mapInPandas(gen, _EXAMPLES_SCHEMA)
+
+
 def alias_df(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     return spark.createDataFrame(synth.alias_rows(cfg), schema.ALIAS_SCHEMA)
 

@@ -83,6 +83,11 @@ class SynthConfig:
     noise_junk_prob: float = 0.10     # stub generator: append junk line
     noise_garbage_prob: float = 0.02  # stub generator: unparseable line
     noise_unknown_type_prob: float = 0.02  # unknown type name (KeyError path)
+    # Calibrated CPU cost per generation (chained md5 iterations, ~0.9us
+    # each): stands in for the generative model's compute so scaling
+    # benchmarks exercise real parallelism (SURVEY.md §7 hard-part (d)).
+    # 0 = free stub (default for correctness tests).
+    stub_compute_iters: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +286,10 @@ def stub_generation_collective(
     generator luck.
     """
     rng = _noise_rng(example_id, cfg)
+    if cfg.stub_compute_iters:
+        h = text.encode()
+        for _ in range(cfg.stub_compute_iters):
+            h = hashlib.md5(h).digest()  # model-compute stand-in (discarded)
     items: list[str] = []
     seen: set[tuple[str, str]] = set()
     for s, e, label in gold_spans:
