@@ -293,6 +293,44 @@ def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_mention_counts_individual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individual-format pipeline (per-label fan-out, pred.py:105-120
+    semantics); noise-free counts match the collective oracle exactly."""
+    from generative_ner_spark.plans import testdata_kg
+
+    mentions = testdata_kg.testdata_mentions_individual(spark, sf_dir)
+    return (
+        mentions.groupBy("doc_id", "label")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("doc_id", "label")
+    )
+
+
+def q21_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/cost accounting columns (S29; chars/4 heuristic, rounded USD)."""
+    from generative_ner_spark.operators import cost
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        cost.with_cost_estimate(d, "text")
+        .select("doc_id", "prompt_tokens", "usd_cost")
+        .orderBy("doc_id")
+    )
+
+
+def q22_batch_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-task builder (S18): dense custom_id assignment via window."""
+    from generative_ner_spark.operators import batchapi
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("example_id"),
+        F.array(
+            F.struct(F.lit("user").alias("role"), F.col("text").alias("content"))
+        ).alias("prompt"),
+    )
+    return batchapi.build_batch_tasks(d).select("custom_id", "example_id")
+
+
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: emitted (subj, pred, obj) triples (rows-only check; the
     P/R>=0.95 gate vs the reference loop lives in tests/test_pipeline.py)."""
@@ -348,7 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_ann_lsh_topk": q18_ann_lsh_topk,
         "q19_simhash_near_dups": q19_simhash_near_dups,
         "q20_minhash_near_dups": q20_minhash_near_dups,
+        "q21_cost_estimate": q21_cost_estimate,
+        "q22_batch_tasks": q22_batch_tasks,
         "kg_mention_counts": kg_mention_counts,
+        "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
         "kg_media_metadata": kg_media_metadata,
     }
@@ -510,7 +551,22 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "q21_cost_estimate": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), 1)
+                   END AS prompt_tokens,
+                   round(CASE WHEN length(text) = 0 THEN 0
+                              ELSE greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), 1)
+                         END / 1000.0 * 0.00015, 8) AS usd_cost
+            FROM documents ORDER BY doc_id""",
+        "q22_batch_tasks": """
+            SELECT 'task-' || CAST(row_number() OVER (ORDER BY example_id) - 1 AS VARCHAR)
+                       AS custom_id,
+                   example_id
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS example_id FROM documents)""",
         "kg_mention_counts": _mention_counts_sql(),
+        "kg_mention_counts_individual": _mention_counts_sql(),
         # rows-only (non-SQL semantics): q18 (xxhash64 hyperplanes),
         # q19/q20 (xxhash64 simhash/minhash), kg_triples (Python-literal
         # parse + LSH + iterative CC), kg_media_metadata (binary UDF plumbing)

@@ -193,6 +193,60 @@ def detect_mentions_fused(
     return examples_with_golds.mapInPandas(fn, _MENTION_SCHEMA)
 
 
+def detect_mentions_individual(
+    examples_with_golds: DataFrame,
+    cfg: SynthConfig,
+    labels2names: dict[str, str] | None = None,
+) -> DataFrame:
+    """Individual-format path: one generation per (example, label).
+
+    The reference fans out x N_labels rows per example and asks one QA turn
+    per label (pred.py:105-120, preprocessor.py:157-193). Spark restatement:
+    explode a broadcast label array -> one row per (example, label) -> fused
+    generate+parse+ground per row; span label = the QUERIED label
+    (pred.py:64), parsing accepts only bare strings (pred.py:62-63).
+
+    Scale: the fan-out is a narrow explode (no shuffle); generation cost
+    x N_labels is the reference's own cost model for this format.
+    """
+    l2n = labels2names or LABELS2NAMES
+    labels = sorted(l2n)  # deterministic order (names2labels.values() order
+    # in the reference is dict-insertion; sorted here for reproducibility)
+    fanned = examples_with_golds.withColumn(
+        "label", F.explode(F.array(*[F.lit(x) for x in labels]))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("example_id", "doc_id", "span_offset", "start", "end",
+                     "label", "mention_norm")}
+            for eid, did, off, text, gold, label in zip(
+                pdf["example_id"], pdf["doc_id"], pdf["span_offset"],
+                pdf["text"], pdf["gold_spans"], pdf["label"],
+            ):
+                gold_spans = [(g["start"], g["end"], g["label"]) for g in gold]
+                gen = synth.stub_generation_individual(
+                    str(eid), text, gold_spans, label, cfg
+                )
+                lowered = text.lower()
+                for s, e, lb in textops.spans_from_generation_individual(
+                    text, gen, label
+                ):
+                    rows["example_id"].append(eid)
+                    rows["doc_id"].append(did)
+                    rows["span_offset"].append(off)
+                    rows["start"].append(s)
+                    rows["end"].append(e)
+                    rows["label"].append(lb)
+                    rows["mention_norm"].append(
+                        textops.normalize_answer(lowered[s:e])
+                    )
+            yield pd.DataFrame(rows)
+
+    return fanned.mapInPandas(fn, _MENTION_SCHEMA)
+
+
 def ground(generations: DataFrame, names2labels: dict[str, str] | None = None) -> DataFrame:
     """Generations -> grounded mentions (one row per (start, end, label)).
 

