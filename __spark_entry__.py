@@ -279,6 +279,45 @@ def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KG pipeline over testdata (flagship path)
 # ---------------------------------------------------------------------------
 
+def q23_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total), null-marker aligned."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .rollup("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            "n_items",
+            "total_price",
+        )
+        .orderBy("o_orderstatus", "l_returnflag")
+    )
+
+
+def q24_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction from the events props column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full mention-detection pipeline (explode -> prompt -> stub generate ->
     parse -> ground), aggregated to per-(doc,label) counts. Noise-free, so
@@ -388,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_minhash_near_dups": q20_minhash_near_dups,
         "q21_cost_estimate": q21_cost_estimate,
         "q22_batch_tasks": q22_batch_tasks,
+        "q23_rollup_revenue": q23_rollup_revenue,
+        "q24_json_props": q24_json_props,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -565,6 +606,20 @@ def oracle_sql() -> dict[str, str]:
                        AS custom_id,
                    example_id
             FROM (SELECT CAST(doc_id AS VARCHAR) AS example_id FROM documents)""",
+        "q23_rollup_revenue": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS total_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY ROLLUP (o_orderstatus, l_returnflag)
+            ORDER BY o_orderstatus, l_returnflag""",
+        "q24_json_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "kg_mention_counts": _mention_counts_sql(),
         "kg_mention_counts_individual": _mention_counts_sql(),
         # rows-only (non-SQL semantics): q18 (xxhash64 hyperplanes),

@@ -93,6 +93,32 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
     )
 
 
+def minhash_df(sh_df: DataFrame, id_col: str = "id",
+               shingle_col: str = "shingles", k: int = 64) -> DataFrame:
+    """(id, shingles) -> (id, minhash ARRAY<LONG>) via explode + groupBy.
+
+    One xxhash64 per shingle, k arithmetic min-aggregates, columnar codegen.
+    Map-side partial aggregation collapses each id to 64 values BEFORE the
+    shuffle (ids live in one input partition), so the exchange carries
+    n_ids x 64 longs regardless of shingle counts — both the fastest local
+    form (2.7x over the array-aggregate expression at sf0.1) and the
+    scale-correct one.
+    """
+    coeffs = _mh_coeffs(k)
+    exploded = sh_df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_col).alias("_s")
+    ).select("id", F.pmod(F.xxhash64("_s"), F.lit(_MH_P)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MH_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash"))
+    )
+
+
 def lsh_candidate_pairs(
     entities: DataFrame,
     id_col: str = "entity_id",
@@ -117,7 +143,7 @@ def lsh_candidate_pairs(
     # shingle sets reused on three plan branches (banding + both verify
     # sides) — materialize once
     sh = sh.persist()
-    mh = with_minhash(sh, "shingles", k=k)
+    mh = minhash_df(sh, "id", "shingles", k=k)
     # SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
     # arrays through the self-join shuffles ~|shingles| strings per banded
     # row — the dominant cost at corpus scale; join them back per-id after
