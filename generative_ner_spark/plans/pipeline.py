@@ -165,16 +165,23 @@ def _finish(
         metrics["n_triples"] = manifest["n_triples"]
 
     if collect_metrics:
-        metrics["per_partition"] = (
+        per_part = (
             _partition_metrics(mentions, "mentions")
             + _partition_metrics(trip, "triples")
         )
+        metrics["per_partition"] = per_part
         metrics["n_mentions"] = mentions.count()
     metrics["wall_sec"] = time.time() - t0
 
     if sink_path and collect_metrics:
         with open(os.path.join(sink_path, "_metrics.json"), "w") as f:
             json.dump(metrics, f, default=str)
+        # per-partition lineage/metrics rows as a queryable table next to
+        # the sink (north rule: "every stage writes per-partition lineage
+        # rows and metrics") — wandb-replacement per SURVEY.md S31
+        spark.createDataFrame(
+            per_part, "stage string, partition_id int, rows long"
+        ).write.mode("overwrite").parquet(os.path.join(sink_path, "_stage_metrics"))
 
     return PipelineResult(mentions=mentions, linked=linked, triples=trip,
                           metrics=metrics)

@@ -371,3 +371,56 @@ class TestStreaming:
         }
         # multiple micro-batches actually ran
         assert got.select("batch_id").distinct().count() >= 2
+
+
+class TestIoAndPruning:
+    def test_label_discovery(self, spark):
+        cfg = SynthConfig(n_docs=30)
+        _, golds = corpus.synth_documents(spark, cfg, num_partitions=2)
+        from generative_ner_spark.sources import io as gio
+
+        l2n = gio.discover_labels(golds)
+        assert l2n == {k: k for k in ["LOC", "MISC", "ORG", "PER"]}
+        assert list(l2n) == sorted(l2n)  # sorted order (run.py:50)
+
+    def test_json_roundtrip_schema(self, spark, tmp_path):
+        cfg = SynthConfig(n_docs=15)
+        docs, _ = corpus.synth_documents(spark, cfg, num_partitions=2)
+        p = str(tmp_path / "docs_json")
+        docs.write.json(p)
+        from generative_ner_spark.sources import io as gio
+
+        back = gio.load_documents_json(spark, p)
+        key = lambda df: {
+            r.doc_id: tuple(
+                (s.kind, s.text, s.media_ref, s.offset)
+                for s in sorted(r.spans, key=lambda x: x.offset)
+            )
+            for r in df.collect()
+        }
+        assert key(back) == key(docs)
+
+    def test_prune_contained_spans_matches_reference_fn(self, spark):
+        rows = [
+            ("e1", "d1", 0, 0, 5, "PER", "x"),
+            ("e1", "d1", 0, 1, 3, "PER", "x"),   # strictly inside (0,5) -> drop
+            ("e1", "d1", 0, 6, 8, "LOC", "y"),
+            ("e1", "d1", 0, 6, 8, "ORG", "z"),   # duplicate offsets stay
+            ("e2", "d1", 1, 2, 4, "PER", "w"),   # other example untouched
+        ]
+        m = spark.createDataFrame(
+            rows,
+            "example_id string, doc_id string, span_offset int, start long, "
+            "end long, label string, mention_norm string",
+        )
+        got = {
+            (r.example_id, r.start, r.end, r.label)
+            for r in detect.prune_contained_mentions(m).collect()
+        }
+        assert got == {
+            ("e1", 0, 5, "PER"), ("e1", 6, 8, "LOC"), ("e1", 6, 8, "ORG"),
+            ("e2", 2, 4, "PER"),
+        }
+        # cross-check offset semantics vs the reference's pure function
+        offs = [(0, 5), (1, 3), (6, 8), (6, 8)]
+        assert sorted(textops.remove_overlapped_offsets(offs)) == [(0, 5), (6, 8)]
