@@ -279,6 +279,28 @@ def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KG pipeline over testdata (flagship path)
 # ---------------------------------------------------------------------------
 
+def q25_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
+
+    The testdata embeddings are near-random (max pairwise cosine ~0.33), so
+    the corpus is salted with scaled copies of the first 10 vectors
+    (cosine exactly 1.0 with their originals) — the operator must find
+    exactly those planted pairs (rows-only check; xxhash64 hyperplanes)."""
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = em.where("vec_id < 10").select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    return (
+        similarity.embedding_near_dup_pairs(
+            em.unionByName(copies), dim=64, cosine_threshold=0.99,
+            tables=8, planes=8,
+        )
+        .select("a", "b", "cosine")
+        .orderBy("a", "b")
+    )
+
+
 def q23_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (subtotals + grand total), null-marker aligned."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
@@ -429,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_batch_tasks": q22_batch_tasks,
         "q23_rollup_revenue": q23_rollup_revenue,
         "q24_json_props": q24_json_props,
+        "q25_embedding_near_dups": q25_embedding_near_dups,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,

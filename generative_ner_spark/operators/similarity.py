@@ -17,8 +17,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -122,17 +125,40 @@ def with_lsh_buckets(
     vec_col: str = "embedding",
     out: str = "bucket",
 ) -> DataFrame:
-    """Add (table, bucket) rows: bucket = integer from ``planes`` sign bits."""
-    buckets = []
-    for t in range(tables):
-        bits = None
-        for p in range(planes):
-            bit = _hyperplane_sign(vec_col, dim, t, p) * F.lit(2 ** p)
-            bits = bit if bits is None else bits + bit
-        buckets.append(F.struct(F.lit(t).alias("table"), bits.alias(out)))
-    return embeddings.select(
-        "*", F.explode(F.array(*buckets)).alias("_tb")
-    ).select("*", F.col("_tb.table").alias("lsh_table"), F.col(f"_tb.{out}").alias(out)).drop("_tb")
+    """Add (lsh_table, bucket) rows: bucket = integer from ``planes`` sign bits.
+
+    Dense linear algebra done RIGHT for Spark: one Arrow-vectorized pandas
+    UDF computing sign(V @ H^T) for all tables*planes hyperplanes in a single
+    numpy matmul per batch (the per-plane aggregate-expression form rebuilt a
+    large codegen tree per hyperplane and re-walked the vector per plane —
+    numpy is the vectorized path here, exactly the pandas-UDF use case).
+    Hyperplanes stay deterministic (md5-derived, same as before).
+    """
+    H = np.array(
+        [
+            _hyperplane(dim, t, p)
+            for t in range(tables)
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    )  # (tables*planes, dim)
+    powers = (2 ** np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(list(vecs), dtype=np.float64)          # (n, dim)
+        signs = (V @ H.T > 0).reshape(len(V), tables, planes)  # (n, t, p)
+        bk = (signs * powers).sum(axis=2).astype("int32")      # (n, tables)
+        return pd.Series(list(bk))
+
+    return (
+        embeddings.withColumn("_bk", buckets_udf(F.col(vec_col)))
+        .select(
+            "*",
+            F.posexplode("_bk").alias("lsh_table", out),
+        )
+        .drop("_bk")
+    )
 
 
 def lsh_bucketed_topk(
