@@ -53,8 +53,9 @@ canon = canonical_map(corpus.entities_df(spark, cfg)).persist()
 canon.count()
 canon_sec = time.time() - t0
 best = None
-for _trial in range(3 if cores > 8 else 2):  # extra trial at the
-    # higher level: it is the one that competes with sandbox background load
+for _trial in range(3 if cores > 8 else 2):  # extra trial at the higher
+    # level: it is the one that competes with sandbox background load (the
+    # low level + background always fits under the 32 physical cores)
     t0 = time.time()
     res = run_pipeline(spark, None, None, corpus.alias_df(spark, cfg),
                        corpus.entities_df(spark, cfg), cfg,
@@ -89,7 +90,7 @@ def run_level(master: str, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 64000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
     # N and 4N cores. Default 4/16: the shared sandbox carries a persistent
     # ~6-9 core background load from other tenants, so local[32] never gets
     # 32 cores (measured: detect scaled 8->32 at exactly the 23-effective-

@@ -285,9 +285,12 @@ def canonical_map(
     """entities -> (entity_id, canonical_id); singletons map to themselves."""
     pairs = lsh_candidate_pairs(entities, id_col, name_col, **lsh_kwargs)
     comp = connected_components(pairs.select("a", "b"))
+    # comp only contains ids that appear in a near-dup pair — a small
+    # fraction of the catalog — so broadcast it explicitly (without the hint
+    # the pre-AQE plan is a SortMergeJoin that shuffles the whole catalog)
     return (
         entities.select(F.col(id_col).alias("entity_id"))
-        .join(comp, F.col("entity_id") == comp.id, "left")
+        .join(F.broadcast(comp), F.col("entity_id") == comp.id, "left")
         .select(
             "entity_id",
             F.coalesce("component", F.col("entity_id")).alias("canonical_id"),
