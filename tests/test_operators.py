@@ -424,3 +424,78 @@ class TestIoAndPruning:
         # cross-check offset semantics vs the reference's pure function
         offs = [(0, 5), (1, 3), (6, 8), (6, 8)]
         assert sorted(textops.remove_overlapped_offsets(offs)) == [(0, 5), (6, 8)]
+
+
+class TestConnectedComponentsIterative:
+    def test_iterative_equals_union_find(self, spark):
+        """Force the iterative large/small-star path (driver_threshold=0) and
+        pin it against the driver union-find on a graph with chains, a
+        cycle, and singleton-free isolation."""
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "d"),        # chain -> comp a
+            ("x", "y"), ("y", "z"), ("z", "x"),        # cycle -> comp x
+            ("m", "n"),                                  # pair  -> comp m
+        ]
+        from generative_ner_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "a string, b string")
+        want = {
+            r.id: r.component
+            for r in connected_components(df, driver_threshold=10**9).collect()
+        }
+        got = {
+            r.id: r.component
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        assert got == want
+        assert got["d"] == "a" and got["z"] == "x" and got["n"] == "m"
+
+    def test_iterative_long_chain_converges(self, spark):
+        n = 40
+        edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)]
+        from generative_ner_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "a string, b string")
+        got = connected_components(df, max_iter=50, driver_threshold=0)
+        comps = {r.component for r in got.collect()}
+        assert comps == {"n000"}
+
+
+class TestLangId:
+    def test_marker_langs(self, spark):
+        rows = [
+            (1, "the cat is on the mat and the dog is in the house"),
+            (2, "der Hund ist nicht im Haus und die Katze ist da"),
+            (3, "le chat est dans la maison et les chiens ne sont pas la"),
+            (4, "el perro no es una casa para los gatos y las aves"),
+            (5, "xyzzy qwerty plugh 12345"),
+        ]
+        from generative_ner_spark.operators.quality import lang_id
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+class TestPipelineSeeds:
+    @pytest.mark.parametrize("seed", [1, 99])
+    def test_mentions_parity_across_seeds(self, spark, seed):
+        """Pipeline == reference loop for other corpus seeds (guards against
+        seed-42-only coincidences in the parity machinery)."""
+        from tests import reference_loop
+
+        cfg = SynthConfig(n_docs=25, seed=seed)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        got = {
+            (r.doc_id, r.span_offset, r.start, r.end, r.label)
+            for r in detect.detect_mentions_fused(ex, cfg).collect()
+        }
+        want = {
+            (m["doc_id"], m["span_offset"], m["start"], m["end"], m["label"])
+            for m in reference_loop.oracle_mentions(cfg)
+        }
+        assert got == want
