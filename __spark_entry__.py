@@ -340,6 +340,49 @@ def q24_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q26_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: fixed 500-char windows, stride 400 (overlap
+    100) — pure JVM sequence+substring explode, one row per chunk."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    size, stride = 500, 400
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(CAST(ceil((length(text) - {size})/{stride}.0) AS INT) + 1, 1)), "
+                    f"i -> substring(text, (i-1)*{stride} + 1, {size}))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length("chunk").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def q27_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) curation aggregates over quality features."""
+    d = quality.quality_features(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q_n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("q_stopword_ratio"), 6).alias("avg_stopword_ratio"),
+            F.min("q_n_chars").alias("min_chars"),
+            F.max("q_n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full mention-detection pipeline (explode -> prompt -> stub generate ->
     parse -> ground), aggregated to per-(doc,label) counts. Noise-free, so
@@ -452,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_rollup_revenue": q23_rollup_revenue,
         "q24_json_props": q24_json_props,
         "q25_embedding_near_dups": q25_embedding_near_dups,
+        "q26_chunk_documents": q26_chunk_documents,
+        "q27_curation_report": q27_curation_report,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -643,6 +688,25 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "q26_chunk_documents": """
+            SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+                   length(substring(text, (i-1)*400 + 1, 500)) AS chunk_len,
+                   md5(substring(text, (i-1)*400 + 1, 500)) AS chunk_hash
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1,
+                             greatest(CAST(ceil((length(text) - 500)/400.0) AS INT) + 1, 1)))
+                             AS i
+                  FROM documents)
+            ORDER BY doc_id, chunk_idx""",
+        "q27_curation_report": f"""
+            SELECT source, lang, count(*) AS n_docs,
+                   round(avg({_WS_TOKENS_SQL}), 4) AS avg_tokens,
+                   round(avg(round(len(regexp_extract_all(lower(text),
+                         '\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b', 0))
+                         / greatest({_WS_TOKENS_SQL}, 1), 6)), 6) AS avg_stopword_ratio,
+                   min(length(text)) AS min_chars,
+                   max(length(text)) AS max_chars
+            FROM documents GROUP BY source, lang ORDER BY source, lang""",
         "kg_mention_counts": _mention_counts_sql(),
         "kg_mention_counts_individual": _mention_counts_sql(),
         # rows-only (non-SQL semantics): q18 (xxhash64 hyperplanes),
