@@ -234,8 +234,11 @@ def q18_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs q17 is pinned in tests/test_similarity.py)."""
     em = _t(spark, sf_dir, "embeddings")
     qvec = em.where("vec_id = 0").select("embedding").first()[0]
+    # planes=6 (64 buckets/table) keeps bucket occupancy high enough on a
+    # near-random corpus that the probe gathers >= k candidates
     return similarity.lsh_bucketed_topk(
-        em.where("vec_id != 0"), list(qvec), dim=len(qvec), k=10
+        em.where("vec_id != 0"), list(qvec), dim=len(qvec), k=10,
+        tables=8, planes=6,
     )
 
 

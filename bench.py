@@ -40,7 +40,7 @@ HEADLINE = [
     "kg_triples",
 ]
 
-KG_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "4000"))
+KG_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "16000"))
 
 
 def force(df) -> int:
