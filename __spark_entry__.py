@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from generative_ner_spark.operators import dedup, quality, similarity
-from generative_ner_spark.operators.quality import LANG_MARKERS, PUNC_CLASS
+from generative_ner_spark.operators.quality import LANG_MARKERS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

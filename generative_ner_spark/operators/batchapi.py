@@ -15,10 +15,7 @@ local responder so the whole loop is testable hermetically.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BATCH_FILE_CHUNK = 50_000  # openai_api.py:348

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    IntegerType, LongType, StringType, StructField, StructType,
 )
 
 from generative_ner_spark.functions import textops
@@ -95,8 +95,14 @@ _GEN_SCHEMA = StructType(
 )
 
 
-def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig) -> DataFrame:
+def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig,
+                  prompt_format: str = "collective") -> DataFrame:
     """Prompt-render + deterministic stub generation in Arrow micro-batches.
+
+    ``prompt_format``: 'collective' (S9, preprocessor.py:118-136) or
+    'universal' (S10, preprocessor.py:138-155) — both share the bracket-list
+    output contract, so the downstream parse/ground chain is format-blind;
+    only the rendered prompt (and therefore the cache key) differs.
 
     Batch flush semantics == reference pred.py:98-103 (incl. the tail flush,
     which Arrow gives for free). Prompt hash reproduces the response-cache
@@ -104,6 +110,10 @@ def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig) -> DataFrame
     joined message contents — used by the resume anti-join
     (plans/pipeline.py).
     """
+    if prompt_format not in ("collective", "universal"):
+        raise NotImplementedError(
+            f"Format '{prompt_format}' is not implemented."
+        )  # parity: preprocessor.py:116
     label_names = list(LABELS2NAMES.values())
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,9 +124,12 @@ def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig) -> DataFrame
                 entity_list = sorted(
                     {(text[s:e], LABELS2NAMES[lb]) for s, e, lb in gold_spans}
                 )
-                messages = textops.get_collective_prompt(
-                    text, entity_list, label_names
-                )
+                if prompt_format == "universal":
+                    messages = textops.get_universal_prompt(text, entity_list)
+                else:
+                    messages = textops.get_collective_prompt(
+                        text, entity_list, label_names
+                    )
                 # cache key: md5 over joined PROMPT-side contents (the gold
                 # assistant turn is stripped before generation, pred.py:97)
                 joined = "\n".join(m["content"] for m in messages[:-1])

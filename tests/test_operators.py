@@ -499,3 +499,28 @@ class TestPipelineSeeds:
             for m in reference_loop.oracle_mentions(cfg)
         }
         assert got == want
+
+
+class TestUniversalFormat:
+    def test_universal_prompt_same_mentions_different_cache_key(self, spark):
+        """S10: the universal prompt shares the output contract with the
+        collective prompt, so grounded mentions are identical; the prompt
+        hash (response-cache key) must differ."""
+        cfg = SynthConfig(n_docs=15)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        g_col = detect.generate_stub(ex, cfg, prompt_format="collective")
+        g_uni = detect.generate_stub(ex, cfg, prompt_format="universal")
+        key = lambda df: {
+            (r.doc_id, r.span_offset, r.start, r.end, r.label)
+            for r in detect.ground(df).collect()
+        }
+        assert key(g_col) == key(g_uni)
+        h_col = {r.example_id: r.prompt_hash for r in g_col.collect()}
+        h_uni = {r.example_id: r.prompt_hash for r in g_uni.collect()}
+        assert all(h_col[k] != h_uni[k] for k in h_col)
+
+    def test_unknown_format_raises(self, spark):
+        cfg = SynthConfig(n_docs=2)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=1)
+        with pytest.raises(NotImplementedError):
+            detect.generate_stub(ex, cfg, prompt_format="weird")
