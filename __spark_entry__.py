@@ -85,10 +85,16 @@ def q03_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti join (the checkpoint-resume primitive)."""
+    """left_anti join (the checkpoint-resume primitive).
+
+    Anti-joins against a deterministic 1/7th order subset (o_orderkey % 7)
+    so the result is non-empty at every sf — every customer has orders in
+    the generated testdata, which made the plain anti-join trivially green
+    on 0 rows (VERDICT r1 #8)."""
     c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    o7 = o.where((F.col("o_orderkey") % 7) == 0)
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(o7, c.c_custkey == o7.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -553,8 +559,9 @@ def _mention_counts_sql() -> str:
             f"WHERE len(regexp_extract_all(lower(text), '\\b{term}\\b', 0)) > 0"
         )
     union = " UNION ALL ".join(per_term)
+    # CAST on SUM: DuckDB sum(BIGINT) -> HUGEINT vs Spark BIGINT (see q07)
     return (
-        f"SELECT doc_id, label, SUM(n) AS n_mentions FROM ({union}) "
+        f"SELECT doc_id, label, CAST(SUM(n) AS BIGINT) AS n_mentions FROM ({union}) "
         f"GROUP BY doc_id, label ORDER BY doc_id, label"
     )
 
@@ -586,7 +593,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders) WHERE rk <= 3""",
         "q04_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderkey % 7 = 0)
             ORDER BY c_custkey""",
         "q05_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type""",
@@ -596,7 +604,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus ORDER BY o_orderstatus""",
         "q07_user_sessions": """
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            -- CAST: DuckDB sum(int) returns HUGEINT; Spark returns BIGINT.
+            -- Values are equal, but the driver's value-hash is dtype-sensitive.
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM (SELECT user_id,
                          CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
@@ -686,8 +697,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (o_orderstatus, l_returnflag)
             ORDER BY o_orderstatus, l_returnflag""",
         "q24_json_props": """
+            -- CAST on SUM: HUGEINT vs BIGINT, see q07 note
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type""",

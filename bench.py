@@ -43,9 +43,10 @@ HEADLINE = [
 KG_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "16000"))
 
 
-def force(df) -> int:
-    """Fully materialize a DataFrame without driver collection."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+def force(df) -> None:
+    """Fully materialize a DataFrame without driver collection (exactly one
+    execution — the r1 form also ran df.count(), doubling every timing)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
