@@ -31,6 +31,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
 )
@@ -95,45 +96,93 @@ _GEN_SCHEMA = StructType(
 )
 
 
+def _check_prompt_format(prompt_format: str) -> None:
+    if prompt_format not in ("collective", "universal"):
+        raise NotImplementedError(
+            f"Format '{prompt_format}' is not implemented."
+        )  # parity: preprocessor.py:116
+
+
+def _prompt_cache_key(text: str, gold_spans: list[tuple[int, int, str]],
+                      prompt_format: str, language: str) -> str:
+    """md5 of the joined SUBMITTED message contents — the response-cache key.
+
+    Parity: src/gpt/utils.py:64-101 / openai_api.py:258-265 hash the joined
+    contents of the messages actually sent; pred.py:97 strips the gold
+    assistant turn before sending, hence messages[:-1]. Any change to the
+    prompt format, language, labels, or text changes this key — which is
+    exactly what makes checkpoint resume invalidate correctly.
+    """
+    entity_list = sorted(
+        {(text[s:e], LABELS2NAMES[lb]) for s, e, lb in gold_spans}
+    )
+    if prompt_format == "universal":
+        messages = textops.get_universal_prompt(text, entity_list, language)
+    else:
+        messages = textops.get_collective_prompt(
+            text, entity_list, list(LABELS2NAMES.values()), language
+        )
+    joined = "\n".join(m["content"] for m in messages[:-1])
+    return hashlib.md5(joined.encode()).hexdigest()
+
+
+def with_prompt_hash(examples_with_golds: DataFrame,
+                     prompt_format: str = "collective",
+                     language: str = "en",
+                     out: str = "prompt_hash") -> DataFrame:
+    """Append the prompt-cache-key column without generating.
+
+    Used by the resume path (plans/pipeline.py) to anti-join pending prompts
+    against the generation checkpoint BY PROMPT HASH — the reference's cache
+    semantics — instead of by example_id (which would silently serve stale
+    generations after a prompt-format/config change).
+    """
+    _check_prompt_format(prompt_format)
+
+    @pandas_udf("string")
+    def hash_udf(texts: pd.Series, golds: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _prompt_cache_key(
+                    t, [(g["start"], g["end"], g["label"]) for g in gs],
+                    prompt_format, language,
+                )
+                for t, gs in zip(texts, golds)
+            ]
+        )
+
+    return examples_with_golds.withColumn(
+        out, hash_udf(F.col("text"), F.col("gold_spans"))
+    )
+
+
 def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig,
-                  prompt_format: str = "collective") -> DataFrame:
+                  prompt_format: str = "collective",
+                  language: str = "en") -> DataFrame:
     """Prompt-render + deterministic stub generation in Arrow micro-batches.
 
     ``prompt_format``: 'collective' (S9, preprocessor.py:118-136) or
     'universal' (S10, preprocessor.py:138-155) — both share the bracket-list
     output contract, so the downstream parse/ground chain is format-blind;
     only the rendered prompt (and therefore the cache key) differs.
+    ``language``: 'en' or 'ja' (preprocessor.py:122-128); the stub generator
+    emits the same bracket-list either way, so mentions are language-blind —
+    only the rendered prompt and cache key change.
 
     Batch flush semantics == reference pred.py:98-103 (incl. the tail flush,
-    which Arrow gives for free). Prompt hash reproduces the response-cache
-    key of src/gpt/utils.py:64-101 / openai_api.py:258-265: md5 over the
-    joined message contents — used by the resume anti-join
-    (plans/pipeline.py).
+    which Arrow gives for free). prompt_hash == _prompt_cache_key (the
+    resume/cache key, shared with with_prompt_hash).
     """
-    if prompt_format not in ("collective", "universal"):
-        raise NotImplementedError(
-            f"Format '{prompt_format}' is not implemented."
-        )  # parity: preprocessor.py:116
-    label_names = list(LABELS2NAMES.values())
+    _check_prompt_format(prompt_format)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             gens, hashes = [], []
             for eid, text, gold in zip(pdf["example_id"], pdf["text"], pdf["gold_spans"]):
                 gold_spans = [(g["start"], g["end"], g["label"]) for g in gold]
-                entity_list = sorted(
-                    {(text[s:e], LABELS2NAMES[lb]) for s, e, lb in gold_spans}
+                hashes.append(
+                    _prompt_cache_key(text, gold_spans, prompt_format, language)
                 )
-                if prompt_format == "universal":
-                    messages = textops.get_universal_prompt(text, entity_list)
-                else:
-                    messages = textops.get_collective_prompt(
-                        text, entity_list, label_names
-                    )
-                # cache key: md5 over joined PROMPT-side contents (the gold
-                # assistant turn is stripped before generation, pred.py:97)
-                joined = "\n".join(m["content"] for m in messages[:-1])
-                hashes.append(hashlib.md5(joined.encode()).hexdigest())
                 gens.append(
                     synth.stub_generation_collective(str(eid), text, gold_spans, cfg)
                 )

@@ -67,6 +67,8 @@ def run_pipeline(
     collect_metrics: bool = False,
     examples_with_golds: DataFrame | None = None,
     canonical_df: DataFrame | None = None,
+    prompt_format: str = "collective",
+    language: str = "en",
 ) -> PipelineResult:
     """Run the full KG DAG. ``golds`` feeds only the deterministic stub
     generator (an LLM deployment drops it, detect.py docstring).
@@ -76,6 +78,7 @@ def run_pipeline(
     caller can produce both in one pass (corpus.synth_examples_with_golds,
     testdata_kg.examples_with_golds)."""
     cfg = cfg or SynthConfig()
+    detect._check_prompt_format(prompt_format)  # parity: preprocessor.py:116
     t0 = time.time()
 
     if examples_with_golds is not None:
@@ -92,25 +95,33 @@ def run_pipeline(
         mentions = detect.detect_mentions_fused(examples, cfg)
         return _finish(spark, mentions, alias_df, entities_df, sink_path,
                        collect_metrics, t0, canonical_df)
-    if gen_ckpt and os.path.exists(gen_ckpt):
-        cached = spark.read.parquet(gen_ckpt)
-        # recompute hashes for pending examples cheaply by generating only
-        # misses: anti-join on example_id (1:1 with prompt_hash here since
-        # prompts are deterministic per example)
-        pending = examples.join(
-            cached.select("example_id"), "example_id", "left_anti"
-        )
-        fresh = detect.generate_stub(pending, cfg)
-        if gen_ckpt:
-            fresh.write.mode("append").parquet(gen_ckpt)
-            generations = spark.read.parquet(gen_ckpt)
-        else:  # pragma: no cover
-            generations = cached.unionByName(fresh)
+    # The checkpoint is a (prompt_hash -> generated_text) response cache, the
+    # reference's md5-of-prompt cache as a table (src/gpt/utils.py:64-101,
+    # openai_api.py:258-265). Keying on prompt_hash (NOT example_id) means a
+    # changed prompt_format / language / label set MISSES and regenerates,
+    # and the final join serves ONLY the current input's examples — a resume
+    # with a shrunken input never emits stale mentions.
+    hashed = detect.with_prompt_hash(examples, prompt_format, language)
+    if os.path.exists(gen_ckpt):
+        cached_hashes = spark.read.parquet(gen_ckpt).select("prompt_hash").distinct()
+        pending = hashed.join(cached_hashes, "prompt_hash", "left_anti")
+        fresh = detect.generate_stub(pending, cfg, prompt_format, language)
+        fresh.write.mode("append").parquet(gen_ckpt)
     else:
-        generations = detect.generate_stub(examples, cfg)
-        if gen_ckpt:
-            generations.write.mode("overwrite").parquet(gen_ckpt)
-            generations = spark.read.parquet(gen_ckpt)
+        fresh = detect.generate_stub(hashed, cfg, prompt_format, language)
+        fresh.write.mode("overwrite").parquet(gen_ckpt)
+    # dedupe identical prompts deterministically (min example_id wins — the
+    # reference cache likewise serves ONE response per distinct prompt)
+    responses = (
+        spark.read.parquet(gen_ckpt)
+        .groupBy("prompt_hash")
+        .agg(
+            F.min(F.struct(F.col("example_id").alias("eid"),
+                           F.col("generated_text").alias("g")))
+            .getField("g").alias("generated_text")
+        )
+    )
+    generations = hashed.join(responses, "prompt_hash")
 
     mentions = detect.ground(generations)
     return _finish(spark, mentions, alias_df, entities_df, sink_path,

@@ -148,6 +148,59 @@ def test_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(os.path.join(ckpt, "generations")).count() == n_gen
 
 
+def test_resume_invalidates_on_prompt_format_change(spark, tmp_path):
+    """The checkpoint is keyed on prompt_hash (reference cache semantics,
+    src/gpt/utils.py:64-101): changing the prompt format MUST miss the cache
+    and regenerate — an example_id-keyed cache would silently serve stale
+    generations."""
+    cfg = SynthConfig(n_docs=20)
+    docs, golds = corpus.synth_documents(spark, cfg, num_partitions=2)
+    adf, edf = corpus.alias_df(spark, cfg), corpus.entities_df(spark, cfg)
+    ckpt = str(tmp_path / "ckpt")
+    gen_path = os.path.join(ckpt, "generations")
+    r1 = run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt,
+                      prompt_format="collective")
+    r1.triples.count()
+    n1 = spark.read.parquet(gen_path).count()
+    # same format resumes with zero new generations
+    run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt,
+                 prompt_format="collective").triples.count()
+    assert spark.read.parquet(gen_path).count() == n1
+    # different format invalidates: every prompt regenerates
+    r3 = run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt,
+                      prompt_format="universal")
+    t3 = {tuple(r) for r in r3.triples.select(
+        "subj_id", "pred", "obj_id", "doc_id", "span_offset").collect()}
+    assert spark.read.parquet(gen_path).count() == 2 * n1
+    # ...and so does a language change (ja prompts, same mention semantics)
+    r4 = run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt,
+                      prompt_format="universal", language="ja")
+    t4 = {tuple(r) for r in r4.triples.select(
+        "subj_id", "pred", "obj_id", "doc_id", "span_offset").collect()}
+    assert spark.read.parquet(gen_path).count() == 3 * n1
+    # generation output is format/language-blind: identical triples
+    t1 = {tuple(r) for r in r1.triples.select(
+        "subj_id", "pred", "obj_id", "doc_id", "span_offset").collect()}
+    assert t1 == t3 == t4
+
+
+def test_resume_shrunken_input_serves_only_current_examples(spark, tmp_path):
+    """Resuming with a subset of the input must emit mentions ONLY for the
+    current examples — the checkpoint is a response cache, not an output."""
+    cfg = SynthConfig(n_docs=24)
+    docs, golds = corpus.synth_documents(spark, cfg, num_partitions=2)
+    adf, edf = corpus.alias_df(spark, cfg), corpus.entities_df(spark, cfg)
+    ckpt = str(tmp_path / "ckpt")
+    run_pipeline(spark, docs, golds, adf, edf, cfg,
+                 checkpoint_dir=ckpt).triples.count()
+    kept = docs.where(F.col("doc_id").substr(-1, 1).isin("0", "2", "4"))
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 < len(kept_ids) < 24
+    r2 = run_pipeline(spark, kept, golds, adf, edf, cfg, checkpoint_dir=ckpt)
+    got_docs = {r.doc_id for r in r2.mentions.select("doc_id").distinct().collect()}
+    assert got_docs <= kept_ids, f"stale docs served: {got_docs - kept_ids}"
+
+
 def test_salted_link_equals_broadcast_link(spark, pipeline_result):
     """The shuffle+salt fallback join must be semantically identical to the
     broadcast path (same top-1 rule)."""
