@@ -444,6 +444,29 @@ def q22_batch_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batchapi.build_batch_tasks(d).select("custom_id", "example_id")
 
 
+def q28_sync_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync generation wrapper (S16, openai_api.py:173-266): injectable
+    responder in mapInPandas, finish-reason guard as an error column. The
+    deterministic stub responder is SQL-expressible, so this has a full
+    DuckDB oracle (including the ~1/16 of prompts that finish 'length')."""
+    from generative_ner_spark.operators import syncgen
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("example_id"),
+        F.array(
+            F.struct(F.lit("user").alias("role"), F.col("text").alias("content"))
+        ).alias("prompt"),
+    )
+    # nulls coalesced to '' for the driver's hash compare only (the operator
+    # itself keeps NULL text/error, reference parity)
+    return syncgen.generate_sync(d).select(
+        "example_id", "prompt_hash",
+        F.coalesce("generated_text", F.lit("")).alias("generated_text"),
+        "finish_reason",
+        F.coalesce("error", F.lit("")).alias("error"),
+    ).orderBy("example_id")
+
+
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: emitted (subj, pred, obj) triples (rows-only check; the
     P/R>=0.95 gate vs the reference loop lives in tests/test_pipeline.py)."""
@@ -506,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_embedding_near_dups": q25_embedding_near_dups,
         "q26_chunk_documents": q26_chunk_documents,
         "q27_curation_report": q27_curation_report,
+        "q28_sync_generate": q28_sync_generate,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -723,6 +747,16 @@ def oracle_sql() -> dict[str, str]:
                    min(length(text)) AS min_chars,
                    max(length(text)) AS max_chars
             FROM documents GROUP BY source, lang ORDER BY source, lang""",
+        "q28_sync_generate": """
+            SELECT CAST(doc_id AS VARCHAR) AS example_id,
+                   md5(text) AS prompt_hash,
+                   CASE WHEN substring(md5(text), 1, 1) = '0' THEN ''
+                        ELSE 'echo:' || md5(text) END AS generated_text,
+                   CASE WHEN substring(md5(text), 1, 1) = '0' THEN 'length'
+                        ELSE 'stop' END AS finish_reason,
+                   CASE WHEN substring(md5(text), 1, 1) = '0'
+                        THEN 'finish_reason=length' ELSE '' END AS error
+            FROM documents ORDER BY example_id""",
         "kg_mention_counts": _mention_counts_sql(),
         "kg_mention_counts_individual": _mention_counts_sql(),
         # rows-only (non-SQL semantics): q18 (xxhash64 hyperplanes),

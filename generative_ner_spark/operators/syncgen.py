@@ -1,0 +1,161 @@
+"""Sync generation wrapper (S16) — the reference's OpenAI.generate path.
+
+Reference flow (src/gpt/openai_api.py:173-266, driven by run_gpt.py:123-152
+generate/debug modes): per prompt, check the md5-of-joined-contents response
+cache; on miss call chat.completions.create with (model, temperature, top_p,
+seed, n, max_tokens[, json_format]); raise RuntimeError if
+``finish_reason != 'stop'`` (openai_api.py:225-226); cache successful
+responses only.
+
+Spark restatement:
+  * the prompt hash is computed JVM-side (md5 over '\\n'-joined message
+    contents — byte-identical to src/gpt/utils.py:64-101, verified in
+    tests), so cache anti-joins never touch Python;
+  * the HTTP call becomes an injectable ``responder(messages, params) ->
+    (text, finish_reason)`` invoked inside ``mapInPandas`` Arrow batches —
+    a deterministic local stub here (no network in the sandbox), the real
+    OpenAI client in production (a per-worker client singleton, same
+    pattern as operators/llm.py);
+  * the finish-reason guard becomes a per-row ``error`` column instead of a
+    process-killing raise — on a 1000-executor run one truncated response
+    must not abort the stage; rows with errors are NOT cached, so a re-run
+    retries exactly those (the reference's crash-and-rerun semantics,
+    minus the crash);
+  * the cache is a parquet table keyed on prompt_hash (same table the
+    checkpoint-resume path uses conceptually; successful rows only).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Responder = Callable[[list[dict[str, str]], dict], tuple[str, str]]
+
+_SYNC_SCHEMA = (
+    "example_id string, prompt_hash string, generated_text string, "
+    "finish_reason string, error string"
+)
+
+
+def with_sync_prompt_hash(prompts: DataFrame, prompt_col: str = "prompt",
+                          out: str = "prompt_hash") -> DataFrame:
+    """md5 over '\\n'.join(message contents), computed in the JVM.
+
+    Byte-parity with the reference cache key (src/gpt/utils.py:64-101 /
+    openai_api.py:258: ``'\\n'.join(m['content'] for m in messages)``).
+    """
+    return prompts.withColumn(
+        out,
+        F.md5(F.concat_ws("\n", F.transform(prompt_col, lambda m: m["content"]))),
+    )
+
+
+def stub_sync_responder(messages: list[dict[str, str]], params: dict
+                        ) -> tuple[str, str]:
+    """Deterministic local stand-in for chat.completions.create.
+
+    Echoes the prompt hash; prompts whose md5 starts with '0' finish with
+    'length' (~1/16 of rows) so the finish-reason guard demonstrably fires.
+    SQL-expressible on purpose — q28's DuckDB oracle replays it exactly.
+    """
+    import hashlib
+
+    joined = "\n".join(m["content"] for m in messages)
+    h = hashlib.md5(joined.encode()).hexdigest()
+    if h[0] == "0":
+        return "", "length"
+    return f"echo:{h}", "stop"
+
+
+def generate_sync(
+    prompts: DataFrame,
+    responder: Responder = stub_sync_responder,
+    model: str = "gpt-4o-mini-2024-07-18",
+    temperature: float = 0.2,
+    max_tokens: int = 4096,
+    top_p: float = 0.0,
+    seed: int = 0,
+    n: int = 1,
+    json_format: bool = False,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """prompts (example_id, prompt: array<struct<role,content>>) -> responses.
+
+    Output columns: (example_id, prompt_hash, generated_text, finish_reason,
+    error). ``generated_text`` is null and ``error`` set when the responder
+    finishes with anything but 'stop' (openai_api.py:225-226 parity as a
+    column, not a raise). Parameter defaults mirror _generate's signature
+    (openai_api.py:174-181) and configs/config_gpt.yaml.
+
+    With ``cache_dir``: successful responses are cached by prompt_hash;
+    subsequent calls anti-join the cache and only call the responder for
+    misses and previously-failed prompts (= the reference's retry-on-rerun).
+    """
+    params = {
+        "model": model, "temperature": temperature, "max_tokens": max_tokens,
+        "top_p": top_p, "seed": seed, "n": n, "json_format": json_format,
+    }
+    hashed = with_sync_prompt_hash(prompts).select(
+        "example_id", "prompt_hash", "prompt"
+    )
+
+    def respond(pdf_stream: DataFrame) -> DataFrame:
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {k: [] for k in ("example_id", "prompt_hash",
+                                       "generated_text", "finish_reason",
+                                       "error")}
+                for eid, ph, prompt in zip(
+                    pdf["example_id"], pdf["prompt_hash"], pdf["prompt"]
+                ):
+                    messages = [
+                        {"role": m["role"], "content": m["content"]}
+                        for m in prompt
+                    ]
+                    text, finish = responder(messages, params)
+                    out["example_id"].append(eid)
+                    out["prompt_hash"].append(ph)
+                    if finish == "stop":
+                        out["generated_text"].append(text)
+                        out["error"].append(None)
+                    else:
+                        out["generated_text"].append(None)
+                        out["error"].append(f"finish_reason={finish}")
+                    out["finish_reason"].append(finish)
+                yield pd.DataFrame(out)
+
+        return pdf_stream.mapInPandas(fn, _SYNC_SCHEMA)
+
+    if cache_dir is None:
+        return respond(hashed)
+
+    import os
+
+    spark = prompts.sparkSession
+    if os.path.exists(cache_dir):
+        cached_hashes = spark.read.parquet(cache_dir).select("prompt_hash").distinct()
+        pending = hashed.join(cached_hashes, "prompt_hash", "left_anti")
+    else:
+        pending = hashed
+    fresh_ok = respond(pending).where(F.col("finish_reason") == "stop")
+    (
+        fresh_ok.select("prompt_hash", "generated_text")
+        .dropDuplicates(["prompt_hash"])
+        .write.mode("append").parquet(cache_dir)
+    )
+    cache = spark.read.parquet(cache_dir).dropDuplicates(["prompt_hash"])
+    served = hashed.join(cache, "prompt_hash").select(
+        "example_id", "prompt_hash", "generated_text",
+        F.lit("stop").alias("finish_reason"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    # prompts still absent from the cache are exactly the failures: re-call
+    # the responder for them (a retry) so their error rows surface in the
+    # output instead of being silently dropped
+    failed = respond(hashed.join(cache.select("prompt_hash"),
+                                 "prompt_hash", "left_anti"))
+    return served.unionByName(failed)

@@ -21,6 +21,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_val(v):
+    if v is None:
+        return "\x00NULL"  # sortable alongside strings
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

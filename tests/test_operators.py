@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from generative_ner_spark.functions import textops
 from generative_ner_spark.operators import (
     batchapi, cost, dedup, demos, detect, linking, llm, multimodal, similarity,
+    syncgen,
 )
 from generative_ner_spark.sources import conll, corpus
 from generative_ner_spark.sources.synth import LABELS2NAMES, SynthConfig
@@ -143,6 +144,83 @@ class TestBatchApi:
 
         files = glob.glob(str(tmp_path / "b" / "part-*"))
         assert len(files) >= 3  # 250 rows / 100 per file
+
+
+def _tracking_responder(tag):
+    """Responder factory: echoes a tag so tests can tell WHO generated."""
+
+    def responder(messages, params):
+        import hashlib
+
+        joined = "\n".join(m["content"] for m in messages)
+        h = hashlib.md5(joined.encode()).hexdigest()
+        if h[0] == "0":
+            return "", "length"
+        return f"{tag}:{h}:t={params['temperature']}", "stop"
+
+    return responder
+
+
+class TestSyncGenerate:
+    def _prompts(self, spark, n=64):
+        return spark.range(n).select(
+            F.col("id").cast("string").alias("example_id"),
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.concat(F.lit("doc body #"), F.col("id")).alias("content"),
+                )
+            ).alias("prompt"),
+        )
+
+    def test_hash_matches_reference_cache_key(self, spark):
+        """JVM md5 column == the reference's '\\n'.join(contents) md5
+        (src/gpt/utils.py:64-101)."""
+        import hashlib
+
+        rows = syncgen.with_sync_prompt_hash(self._prompts(spark, 5)).collect()
+        for r in rows:
+            joined = "\n".join(m["content"] for m in r.prompt)
+            assert r.prompt_hash == hashlib.md5(joined.encode()).hexdigest()
+
+    def test_finish_reason_guard(self, spark):
+        """finish_reason != 'stop' -> error column + null text
+        (openai_api.py:225-226 parity, per-row instead of a raise)."""
+        out = syncgen.generate_sync(self._prompts(spark, 200)).collect()
+        assert len(out) == 200
+        bad = [r for r in out if r.finish_reason != "stop"]
+        ok = [r for r in out if r.finish_reason == "stop"]
+        assert bad, "stub must produce some non-stop rows at n=200"
+        assert all(r.error == f"finish_reason={r.finish_reason}" and
+                   r.generated_text is None for r in bad)
+        assert all(r.error is None and
+                   r.generated_text == f"echo:{r.prompt_hash}" for r in ok)
+
+    def test_cache_hit_skips_generation(self, spark, tmp_path):
+        """Second call with a DIFFERENT responder must serve the first
+        responder's cached outputs for every previously-successful prompt,
+        and re-call (retry) only the failures."""
+        cache = str(tmp_path / "sync_cache")
+        prompts = self._prompts(spark, 120)
+        r1 = {r.example_id: r for r in syncgen.generate_sync(
+            prompts, _tracking_responder("A"), cache_dir=cache).collect()}
+        r2 = {r.example_id: r for r in syncgen.generate_sync(
+            prompts, _tracking_responder("B"), cache_dir=cache).collect()}
+        assert r1.keys() == r2.keys()
+        for eid, row1 in r1.items():
+            row2 = r2[eid]
+            if row1.finish_reason == "stop":
+                assert row2.generated_text == row1.generated_text
+                assert row2.generated_text.startswith("A:")
+            else:  # failures retried with the new responder, still failing
+                assert row2.finish_reason == "length"
+                assert row2.error == "finish_reason=length"
+
+    def test_params_plumbed_to_responder(self, spark):
+        out = syncgen.generate_sync(
+            self._prompts(spark, 8), _tracking_responder("A"), temperature=0.7
+        ).where("finish_reason = 'stop'").collect()
+        assert out and all(r.generated_text.endswith("t=0.7") for r in out)
 
 
 class TestCost:
