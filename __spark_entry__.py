@@ -432,7 +432,8 @@ def q21_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_batch_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-task builder (S18): dense custom_id assignment via window."""
+    """Batch-task builder (S18): dense custom_id assignment, funnel-free
+    (md5-bucketed counts + broadcast offsets + per-bucket window)."""
     from generative_ner_spark.operators import batchapi
 
     d = _t(spark, sf_dir, "documents").select(
@@ -708,8 +709,11 @@ def oracle_sql() -> dict[str, str]:
                          END / 1000.0 * 0.00015, 8) AS usd_cost
             FROM documents ORDER BY doc_id""",
         "q22_batch_tasks": """
-            SELECT 'task-' || CAST(row_number() OVER (ORDER BY example_id) - 1 AS VARCHAR)
-                       AS custom_id,
+            -- global order = (md5 bucket prefix, example_id): replicates the
+            -- Spark side's funnel-free dense numbering exactly
+            SELECT 'task-' || CAST(row_number() OVER (
+                       ORDER BY substring(md5(example_id), 1, 2), example_id) - 1
+                       AS VARCHAR) AS custom_id,
                    example_id
             FROM (SELECT CAST(doc_id AS VARCHAR) AS example_id FROM documents)""",
         "q23_rollup_revenue": """

@@ -28,17 +28,41 @@ def build_batch_tasks(
     top_p: float = 0.9,
     seed: int = 0,
     max_tokens: int = 4096,
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """examples (example_id, prompt) -> Batch-API task rows.
 
-    custom_id = "task-{i}" with i a global dense row number (parity with
+    custom_id = "task-{i}" with i a dense row number (parity with
     openai_api.py:318); the (example_id -> custom_id) mapping column makes
     the later keyed re-join explicit. Defaults mirror configs/config_gpt.yaml.
+
+    Numbering is deterministic WITHOUT a global single-partition window
+    (the r1 form, Window.orderBy with no partitionBy, funneled every row
+    through one partition — a scale-killer for the 100 TB batch builder):
+    rows are bucketed by an md5 prefix of example_id (uniform, pure function
+    of the key — so the two passes below can never disagree), per-bucket
+    counts (map-side combine, 16^bucket_chars rows) become broadcast
+    offsets, and a per-bucket window assigns offset + local row_number.
+    Global order = (md5_prefix, example_id) — SQL-replicable, see the q22
+    oracle. Raise ``bucket_chars`` for more numbering parallelism at scale.
     """
-    w = Window.orderBy("example_id")  # deterministic global numbering
-    return examples.withColumn(
+    b = F.substring(F.md5(F.col("example_id").cast("binary")), 1, bucket_chars)
+    bucketed = examples.withColumn("_bucket", b)
+    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_n")).collect()
+    offs, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_bucket"]):
+        offs.append((r["_bucket"], acc))
+        acc += r["_n"]
+    odf = examples.sparkSession.createDataFrame(
+        offs, "_bucket string, _offset long"
+    )
+    w = Window.partitionBy("_bucket").orderBy("example_id")
+    return bucketed.join(F.broadcast(odf), "_bucket").withColumn(
         "custom_id",
-        F.concat(F.lit("task-"), (F.row_number().over(w) - 1).cast("string")),
+        F.concat(
+            F.lit("task-"),
+            (F.col("_offset") + F.row_number().over(w) - 1).cast("string"),
+        ),
     ).select(
         "custom_id",
         "example_id",

@@ -132,6 +132,18 @@ class TestBatchApi:
         assert all(r.generated_text == f"echo:{r.custom_id}" for r in rows)
         assert len(rows) == len(ids)
 
+    def test_numbering_has_no_single_partition_exchange(self, spark):
+        """The r1 global window funneled all rows through ONE partition; the
+        bucketed numbering must keep every exchange parallel."""
+        df = spark.range(300).select(
+            F.col("id").cast("string").alias("example_id"),
+            F.array(F.struct(F.lit("user").alias("role"),
+                             F.lit("x").alias("content"))).alias("prompt"),
+        )
+        tasks = batchapi.build_batch_tasks(df)
+        plan = tasks._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+
     def test_chunked_files(self, spark, tmp_path):
         df = spark.range(250).select(
             F.col("id").cast("string").alias("example_id"),
