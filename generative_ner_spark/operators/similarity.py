@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -161,6 +163,95 @@ def with_lsh_buckets(
     )
 
 
+@dataclass
+class LshIndex:
+    """Persisted-index ANN shape: ``df`` holds (id, vec, _bk array<int>) with
+    one bucket id per hash table — NOT exploded, so the index is exactly one
+    extra int column per table and can be cached / written as a table and
+    probed many times without recomputing corpus buckets (the r1 probe
+    rebuilt them per query — its dominant cost)."""
+
+    df: DataFrame
+    dim: int
+    tables: int
+    planes: int
+    id_col: str
+    vec_col: str
+
+    def persist(self) -> "LshIndex":
+        self.df = self.df.persist()
+        return self
+
+    def unpersist(self) -> "LshIndex":
+        self.df.unpersist()
+        return self
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    dim: int,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LshIndex:
+    """Bucket the corpus once (single numpy-matmul pandas UDF pass)."""
+    H = np.array(
+        [_hyperplane(dim, t, p) for t in range(tables) for p in range(planes)],
+        dtype=np.float64,
+    )
+    powers = (2 ** np.arange(planes)).astype(np.int64)
+    n_tables = tables
+
+    @pandas_udf("array<int>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(list(vecs), dtype=np.float64)
+        signs = (V @ H.T > 0).reshape(len(V), n_tables, planes)
+        bk = (signs * powers).sum(axis=2).astype("int32")
+        return pd.Series(list(bk))
+
+    df = embeddings.select(
+        id_col, vec_col, buckets_udf(F.col(vec_col)).alias("_bk")
+    )
+    return LshIndex(df, dim, tables, planes, id_col, vec_col)
+
+
+def _query_buckets(query: list[float], dim: int, tables: int, planes: int
+                   ) -> list[int]:
+    """Query-side buckets computed DRIVER-SIDE with numpy — no Spark job,
+    no broadcast join (the r1 probe spent a whole job + join on this)."""
+    H = np.array(
+        [_hyperplane(dim, t, p) for t in range(tables) for p in range(planes)],
+        dtype=np.float64,
+    )
+    v = np.asarray([float(x) for x in query], dtype=np.float64)
+    signs = (H @ v > 0).reshape(tables, planes)
+    powers = (2 ** np.arange(planes)).astype(np.int64)
+    return [int((signs[t] * powers).sum()) for t in range(tables)]
+
+
+def probe_lsh_index(index: LshIndex, query: list[float], k: int = 10
+                    ) -> DataFrame:
+    """ANN probe: OR-of-equalities filter over the per-table bucket array
+    (candidate iff it collides with the query in ANY table), exact cosine
+    re-rank, TakeOrderedAndProject top-k. One narrow pass: no explode (the
+    r1 form multiplied the corpus x tables rows), no join, and no
+    dropDuplicates shuffle (a row matches the filter once, not per table)."""
+    qb = _query_buckets(query, index.dim, index.tables, index.planes)
+    collide = None
+    for t in range(index.tables):
+        cond = F.element_at("_bk", t + 1) == F.lit(qb[t])
+        collide = cond if collide is None else (collide | cond)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = index.df.where(collide).select(
+        F.col(index.id_col),
+        F.round(cosine_col(F.col(index.vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col(index.id_col).asc()
+    ).limit(k)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -171,22 +262,10 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: probe only the query's LSH buckets, exact re-rank inside them."""
-    spark = embeddings.sparkSession
-    corpus = with_lsh_buckets(embeddings, dim, tables, planes, vec_col)
-    qdf = spark.createDataFrame([(0, [float(x) for x in query])],
-                                f"qid INT, qvec ARRAY<FLOAT>")
-    qb = with_lsh_buckets(qdf, dim, tables, planes, "qvec").select(
-        "lsh_table", "bucket", "qvec"
-    )
-    cands = corpus.join(F.broadcast(qb), ["lsh_table", "bucket"]).dropDuplicates(
-        [id_col]
-    )
-    scored = cands.select(
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),
-    )
-    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    """ANN: build_lsh_index + probe_lsh_index in one shot (single probe);
+    callers with many probes should build the index once and persist it."""
+    index = build_lsh_index(embeddings, dim, tables, planes, id_col, vec_col)
+    return probe_lsh_index(index, query, k)
 
 
 def embedding_near_dup_pairs(
@@ -198,16 +277,32 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify."""
-    b = with_lsh_buckets(embeddings, dim, tables, planes, vec_col)
-    left = b.select(F.col("lsh_table"), F.col("bucket"),
-                    F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    right = b.select(F.col("lsh_table"), F.col("bucket"),
-                     F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
+    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify.
+
+    SLIM banding (same pattern as canonicalize.py's SLIM banding rows): the
+    self-join carries (lsh_table, bucket, id) ONLY — the r1 form shuffled
+    the full `dim`-float vector on BOTH sides of the join, tables x copies.
+    Vectors are re-attached per-id for the exact cosine verify on the
+    (few) candidate pairs. The identical left/right subplans collapse into
+    one ReusedExchange, so the bucketing UDF runs once.
+    """
+    vecs = embeddings.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).alias("_vec"))
+    b = with_lsh_buckets(
+        embeddings.select(id_col, vec_col), dim, tables, planes, vec_col
+    ).select("lsh_table", "bucket", id_col)
+    left = b.select("lsh_table", "bucket", F.col(id_col).alias("a"))
+    right = b.select("lsh_table", "bucket", F.col(id_col).alias("b"))
+    pairs = (
         left.join(right, ["lsh_table", "bucket"])
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    return (
+        pairs
+        .join(vecs.select(F.col("_id").alias("a"), F.col("_vec").alias("va")), "a")
+        .join(vecs.select(F.col("_id").alias("b"), F.col("_vec").alias("vb")), "b")
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= cosine_threshold)
         .select("a", "b", "cosine")
