@@ -255,28 +255,91 @@ def detect_mentions_fused(
     return examples_with_golds.mapInPandas(fn, _MENTION_SCHEMA)
 
 
+def individual_label_order(
+    labels2names: dict[str, str],
+    shuffle: bool = False,
+    rng=None,
+) -> list[str]:
+    """Label order for individual-format prompts.
+
+    Parity target: preprocessor.py:173-175 — ``labels =
+    list(labels2names.keys()); if shuffle: random.shuffle(labels)``. The
+    reference shuffles with the GLOBAL RNG (order depends on every prior
+    random call in the process — not reproducible, and meaningless on a
+    1000-executor cluster). Pass an explicit ``rng`` (e.g.
+    ``random.Random(f"{seed}:{example_id}")``) for the deterministic,
+    distributable restatement; passing the ``random`` module itself
+    reproduces the reference byte-for-byte when the global RNG is pre-seeded
+    (pinned in tests).
+    """
+    labels = list(labels2names)
+    if shuffle:
+        import random as _random
+
+        (rng if rng is not None else _random).shuffle(labels)
+    return labels
+
+
 def detect_mentions_individual(
     examples_with_golds: DataFrame,
     cfg: SynthConfig,
     labels2names: dict[str, str] | None = None,
+    language: str = "en",
+    shuffle: bool = False,
+    seed: int = 0,
 ) -> DataFrame:
     """Individual-format path: one generation per (example, label).
 
     The reference fans out x N_labels rows per example and asks one QA turn
     per label (pred.py:105-120, preprocessor.py:157-193). Spark restatement:
-    explode a broadcast label array -> one row per (example, label) -> fused
-    generate+parse+ground per row; span label = the QUERIED label
+    explode a per-example label array -> one row per (example, label) ->
+    fused generate+parse+ground per row; span label = the QUERIED label
     (pred.py:64), parsing accepts only bare strings (pred.py:62-63).
+
+    ``language`` selects the prompt language ('en'/'ja',
+    preprocessor.py:159-168 — validated here; the stub generator's output
+    contract is language-blind, so mentions are identical).
+    ``shuffle`` applies the reference's label-shuffle option
+    (preprocessor.py:174-175) as a per-example seeded permutation of the
+    fan-out order — it changes prompt/QA-turn order (and therefore cache
+    keys in a real deployment), NEVER the emitted mention set (pinned in
+    tests).
 
     Scale: the fan-out is a narrow explode (no shuffle); generation cost
     x N_labels is the reference's own cost model for this format.
     """
+    if language not in ("en", "ja"):  # parity: preprocessor.py:168
+        raise ValueError(
+            f"Unsupported language: {language}. Supported languages are 'ja' and 'en'."
+        )
     l2n = labels2names or LABELS2NAMES
-    labels = sorted(l2n)  # deterministic order (names2labels.values() order
-    # in the reference is dict-insertion; sorted here for reproducibility)
-    fanned = examples_with_golds.withColumn(
-        "label", F.explode(F.array(*[F.lit(x) for x in labels]))
-    )
+    if shuffle:
+        import random as _random
+
+        base = sorted(l2n)
+        perms = {}  # one deterministic permutation per example
+
+        @pandas_udf("array<string>")
+        def order_udf(eids: pd.Series) -> pd.Series:
+            out = []
+            for eid in eids:
+                key = str(eid)
+                if key not in perms:
+                    labels = list(base)
+                    _random.Random(f"{seed}:{key}").shuffle(labels)
+                    perms[key] = labels
+                out.append(perms[key])
+            return pd.Series(out)
+
+        fanned = examples_with_golds.withColumn(
+            "label", F.explode(order_udf(F.col("example_id")))
+        )
+    else:
+        labels = sorted(l2n)  # deterministic order (names2labels.values()
+        # order in the reference is dict-insertion; sorted for reproducibility)
+        fanned = examples_with_golds.withColumn(
+            "label", F.explode(F.array(*[F.lit(x) for x in labels]))
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
