@@ -20,7 +20,8 @@ self-join shuffles on band_hash whose cardinality we control via (b, r);
 CC converges in O(log n) rounds and each round is two shuffles on a
 pair table that only shrinks. Band buckets with pathological size (a
 popular token) are capped by ``max_bucket`` to bound worst-case pair
-blowup — the cap is logged as a metric, not silent (see count column).
+blowup — pass ``metrics`` to lsh_candidate_pairs to get the capped
+bucket/row counts (otherwise the cap is silent by design: no extra job).
 """
 
 from __future__ import annotations
@@ -128,12 +129,23 @@ def lsh_candidate_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """(id, name) -> verified near-duplicate pairs (a < b, jaccard >= t).
 
     LSH blocking with b=bands, r=k/bands, then EXACT Jaccard verification on
     the blocked candidates (so precision is exact; only recall depends on
     the S-curve of (b, r)).
+
+    Pass ``metrics`` (a dict) to receive {"capped_buckets", "capped_rows"}:
+    the recall loss from the ``max_bucket`` hot-bucket cap, at the cost of
+    one extra small aggregate job. Without it the cap is silent.
+
+    The verified pairs are eagerly ``localCheckpoint``ed before returning:
+    the shingle-set cache backing three plan branches is then unpersisted
+    immediately (the r1 form leaked it across calls), and downstream
+    consumers (connected components' multi-pass loop) never re-run the
+    blocking plan.
     """
     r = k // bands
     sh = with_shingles(
@@ -166,6 +178,15 @@ def lsh_candidate_pairs(
     )
     # cap pathological buckets (hot shingle patterns) — bounded pair blowup
     bucket_counts = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bc"))
+    if metrics is not None:
+        over = (
+            bucket_counts.where(F.col("_bc") > max_bucket)
+            .agg(F.count("*").alias("b"),
+                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
+            .first()
+        )
+        metrics["capped_buckets"] = over["b"]
+        metrics["capped_rows"] = int(over["r"])
     capped = banded.join(
         bucket_counts.where(F.col("_bc") <= max_bucket), ["band", "band_hash"]
     )
@@ -189,11 +210,50 @@ def lsh_candidate_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
+    verified = verified.localCheckpoint()  # eager: materialize pairs once
+    sh.unpersist()  # shingle cache no longer needed — don't leak it
     return verified
 
 
+def _large_star(e_sym: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14, Algorithm 2).
+
+    Input: symmetric edge list (u, v), u != v. For each node u let
+    m = min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u. Output is
+    directed (l, s) with l > s by construction (s = m <= u < v = l).
+    """
+    mins = e_sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("m")
+    )
+    return (
+        e_sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("l"), F.col("m").alias("s"))
+        .where(F.col("l") != F.col("s"))
+        .distinct()
+    )
+
+
+def _small_star(e_dir: DataFrame) -> DataFrame:
+    """Small-star round (Kiveris et al., Algorithm 3).
+
+    Input: directed (l, s) with l > s. For each l let m = min of its (all
+    smaller) neighbors; re-point every neighbor s (and l itself) at m.
+    Output stays in (l, s) l > s form.
+    """
+    mins = e_dir.groupBy("l").agg(F.min("s").alias("m"))
+    moved = (
+        e_dir.join(mins, "l")
+        .select(F.col("s").alias("l"), F.col("m").alias("s"))
+        .where(F.col("l") != F.col("s"))
+    )
+    pointed = mins.select(F.col("l"), F.col("m").alias("s"))
+    return moved.union(pointed).distinct()
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected edges (a, b) -> (id, component) with component = min member.
 
@@ -203,10 +263,16 @@ def connected_components(
       10^9-entity catalog typically yields << 10^8 verified near-dup pairs,
       and 2M pairs is a few tens of MB on the driver. This collapses ~15
       tiny-task Spark jobs of loop overhead that dominated wall-clock.
-    * larger: iterative min-label propagation (large/small-star family,
-      Kiveris et al., SoCC'14) as DataFrame joins with ``localCheckpoint``
-      per round to truncate lineage; O(log n) rounds, each one groupBy
-      shuffle over a shrinking label table.
+    * larger: alternating large-star/small-star rounds (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) with
+      ``localCheckpoint`` per round to truncate lineage. Converges in
+      O(log n) rounds even on pathological long chains (pinned by the
+      10^4-node path-graph test) — the r1 min-label propagation needed
+      O(diameter) rounds there. At the fixed point every edge points
+      directly at its component's minimum node.
+
+    ``stats`` (optional dict) receives {"rounds": int, "converged": bool,
+    "regime": "driver"|"distributed"}.
     """
     spark = edges.sparkSession
     n_edges = edges.count()
@@ -229,51 +295,44 @@ def connected_components(
                 parent[hi] = lo
         nodes = {x for r in rows for x in (r.a, r.b)}
         out = [(x, find(x)) for x in sorted(nodes)]
+        if stats is not None:
+            stats.update(rounds=0, converged=True, regime="driver")
         return spark.createDataFrame(out, "id string, component string")
-    # symmetrize + self-loops as (node, label) pairs; label starts as min nbr
-    e = (
+
+    cur = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .union(
-            edges.select(F.col("a").alias("u"), F.col("a").alias("v"))
-        )
-        .union(edges.select(F.col("b").alias("u"), F.col("b").alias("v")))
+        .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()  # edges reused every round — cut the upstream
-        # (LSH) DAG once, or each iteration re-runs the whole blocking plan
+        .localCheckpoint()  # cut the upstream (LSH) DAG once, or every
+        # round re-runs the whole blocking plan
     )
-    labels = e.groupBy("u").agg(F.min("v").alias("comp")).localCheckpoint()
-
-    for _ in range(max_iter):
-        # propagate: comp(u) <- min(comp(u), min over neighbors comp(v))
-        nbr = (
-            e.alias("e")
-            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
-            .groupBy(F.col("e.u").alias("u"))
-            .agg(F.min("l.comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.alias("l")
-            .join(nbr.alias("n"), "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("l.comp"), F.coalesce(F.col("n.nbr_comp"), F.col("l.comp"))
-                ).alias("comp"),
-            )
+    prev = None
+    stars = None
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        ss = _small_star(_large_star(cur)).localCheckpoint()
+        if prev is not None and ss.count() == prev.count() \
+                and ss.exceptAll(prev).isEmpty():
+            stars, converged = ss, True
+            break
+        prev = ss
+        cur = (
+            ss.select(F.col("l").alias("u"), F.col("s").alias("v"))
+            .union(ss.select(F.col("s").alias("u"), F.col("l").alias("v")))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "u")
-            .where(F.col("a.comp") != F.col("b.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+    if stars is None:
+        stars = prev  # best effort at max_iter (same contract as before)
+    if stats is not None:
+        stats.update(rounds=rounds, converged=converged, regime="distributed")
+    return (
+        stars.select(F.col("l").alias("id"), F.col("s").alias("component"))
+        .union(stars.select(F.col("s").alias("id"), F.col("s").alias("component")))
+        .distinct()
+    )
 
 
 def canonical_map(
