@@ -3,9 +3,13 @@
 The reference is batch-only (no streaming code exists in the repo — verified
 in SURVEY.md §1.3), but the stage DAG was designed so detection runs under
 ``foreachBatch`` unchanged: each micro-batch of interleaved documents goes
-through the SAME explode -> fused detect -> link -> triples plan and appends
-to the partitioned triple sink. Exactly-once-per-batch comes from the
-streaming checkpoint (offsets) + idempotent append by batch_id.
+through the SAME explode -> fused detect -> link -> triples plan and lands
+in the partitioned triple sink. Exactly-once-per-batch comes from the
+streaming checkpoint (offsets) + an IDEMPOTENT per-batch write: the sink is
+partitioned by (batch_id, pred) and written with dynamic partition
+overwrite, so a batch replayed after a failure rewrites exactly its own
+partitions instead of appending duplicates (a plain mode('append') would
+double the replayed batch — at-least-once, not exactly-once).
 
 At production scale this is the continuous-ingest path: readStream from the
 Iceberg/Kafka landing table, watermark on ingest time if late media spans
@@ -34,16 +38,18 @@ def stream_documents(spark: SparkSession, input_dir: str,
     )
 
 
-def start_mention_stream(
-    docs_stream: DataFrame,
+def make_batch_processor(
     golds: DataFrame,
     alias_df: DataFrame,
     canonical_df: DataFrame,
     cfg: SynthConfig,
     sink_dir: str,
-    checkpoint_dir: str,
-) -> StreamingQuery:
-    """foreachBatch: batch plan reused verbatim per micro-batch."""
+):
+    """foreachBatch body as a testable function: batch plan reused verbatim.
+
+    Idempotent per batch: dynamic partition overwrite on (batch_id, pred) —
+    a replay of batch N rewrites only batch N's partitions (exactly-once
+    sink contents under foreachBatch's at-least-once invocation)."""
 
     def process(batch_docs: DataFrame, batch_id: int) -> None:
         examples = detect.attach_golds(
@@ -60,11 +66,26 @@ def start_mention_stream(
         (
             T.materialize_triples(linked)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("pred")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "pred")
             .parquet(sink_dir)
         )
 
+    return process
+
+
+def start_mention_stream(
+    docs_stream: DataFrame,
+    golds: DataFrame,
+    alias_df: DataFrame,
+    canonical_df: DataFrame,
+    cfg: SynthConfig,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """foreachBatch: batch plan reused verbatim per micro-batch."""
+    process = make_batch_processor(golds, alias_df, canonical_df, cfg, sink_dir)
     return (
         docs_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -106,6 +106,50 @@ class TestIndividualFormat:
                             want.add((d["doc_id"], off, s, e, label))
         assert got == want
 
+    def test_label_order_matches_reference_global_rng(self):
+        """individual_label_order(rng=random) == preprocessor.py:173-175
+        (labels = list(labels2names.keys()); random.shuffle(labels)) when
+        the global RNG is pre-seeded identically."""
+        import random
+
+        random.seed(1234)
+        want = list(LABELS2NAMES.keys())  # reference line 173
+        random.shuffle(want)              # reference line 175
+        random.seed(1234)
+        got = detect.individual_label_order(LABELS2NAMES, shuffle=True,
+                                            rng=random)
+        assert got == want
+        assert detect.individual_label_order(LABELS2NAMES) == list(LABELS2NAMES)
+
+    def test_shuffle_changes_order_not_mentions(self, spark):
+        """shuffle=True permutes the per-example label order (prompt/cache
+        surface) but NEVER the emitted mention set."""
+        import random
+
+        cfg = SynthConfig(n_docs=12)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        key = ["doc_id", "span_offset", "start", "end", "label"]
+        base = {tuple(r) for r in
+                detect.detect_mentions_individual(ex, cfg).select(*key).collect()}
+        shuf = {tuple(r) for r in
+                detect.detect_mentions_individual(
+                    ex, cfg, shuffle=True, seed=7).select(*key).collect()}
+        ja = {tuple(r) for r in
+              detect.detect_mentions_individual(
+                  ex, cfg, language="ja").select(*key).collect()}
+        assert base == shuf == ja
+        # the permutation itself is deterministic per (seed, example_id)
+        # and differs between examples
+        orders = {
+            eid: tuple(detect.individual_label_order(
+                LABELS2NAMES, shuffle=True,
+                rng=random.Random(f"7:{eid}")))
+            for eid in ("doc-0:0", "doc-1:0", "doc-2:0", "doc-3:0")
+        }
+        assert len(set(orders.values())) > 1
+        with pytest.raises(ValueError, match="Unsupported language"):
+            detect.detect_mentions_individual(ex, cfg, language="de")
+
 
 class TestBatchApi:
     def test_roundtrip_keyed_join(self, spark, tmp_path):
@@ -462,6 +506,34 @@ class TestStreaming:
         # multiple micro-batches actually ran
         assert got.select("batch_id").distinct().count() >= 2
 
+    def test_batch_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch may re-invoke a batch after failure; the dynamic
+        partition overwrite keyed on batch_id must not duplicate triples."""
+        from generative_ner_spark.operators.canonicalize import canonical_map
+        from generative_ner_spark.streaming import mentions as sm
+
+        cfg = SynthConfig(n_docs=20)
+        docs, golds = corpus.synth_documents(spark, cfg, num_partitions=2)
+        golds = golds.persist()
+        canon = canonical_map(corpus.entities_df(spark, cfg))
+        sink = str(tmp_path / "triples")
+        process = sm.make_batch_processor(
+            golds, corpus.alias_df(spark, cfg), canon, cfg, sink
+        )
+        process(docs, 0)
+        key = ["subj_id", "pred", "obj_id", "doc_id", "span_offset"]
+        first = sorted(tuple(r) for r in
+                       spark.read.parquet(sink).select(*key).collect())
+        assert first
+        process(docs, 0)  # replay of the SAME batch
+        replayed = sorted(tuple(r) for r in
+                          spark.read.parquet(sink).select(*key).collect())
+        assert replayed == first  # no duplicates, byte-identical content
+        process(docs.limit(5), 1)  # a NEW batch appends its own partitions
+        grown = spark.read.parquet(sink)
+        assert grown.select("batch_id").distinct().count() == 2
+        assert grown.count() > len(first)
+
 
 class TestIoAndPruning:
     def test_label_discovery(self, spark):
@@ -542,17 +614,40 @@ class TestConnectedComponentsIterative:
         assert got == want
         assert got["d"] == "a" and got["z"] == "x" and got["n"] == "m"
 
+    def test_hot_bucket_cap_reports_metric(self, spark):
+        """max_bucket drops oversized LSH buckets; with a metrics dict the
+        recall loss is REPORTED (capped bucket/row counts), not silent."""
+        from generative_ner_spark.operators.canonicalize import (
+            lsh_candidate_pairs,
+        )
+
+        rows = [(f"e{i}", "acme systems corporation") for i in range(100)]
+        df = spark.createDataFrame(rows, "entity_id string, name string")
+        metrics = {}
+        pairs = lsh_candidate_pairs(df, max_bucket=10, metrics=metrics)
+        assert pairs.count() == 0  # every bucket is hot -> all capped
+        assert metrics["capped_buckets"] > 0
+        assert metrics["capped_rows"] >= 100
+
     def test_iterative_long_chain_converges(self, spark):
-        n = 40
-        edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)]
+        """A 10^4-node path graph must converge within O(log n) rounds —
+        alternating large/small-star contracts the diameter geometrically
+        (plain min-label propagation would need O(n) = 10^4 rounds)."""
+        n = 10_000
+        edges = [(f"n{i:05d}", f"n{i+1:05d}") for i in range(n - 1)]
         from generative_ner_spark.operators.canonicalize import (
             connected_components,
         )
 
-        df = spark.createDataFrame(edges, "a string, b string")
-        got = connected_components(df, max_iter=50, driver_threshold=0)
-        comps = {r.component for r in got.collect()}
-        assert comps == {"n000"}
+        df = spark.createDataFrame(edges, "a string, b string").repartition(8)
+        stats = {}
+        got = connected_components(df, max_iter=16, driver_threshold=0,
+                                   stats=stats)
+        rows = got.collect()
+        assert {r.component for r in rows} == {"n00000"}
+        assert len(rows) == n
+        # ~log2(10^4) contraction rounds + 1 confirmation round
+        assert stats["converged"] and stats["rounds"] <= 16, stats
 
 
 class TestLangId:
