@@ -481,14 +481,20 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans -> executor-side fetch -> typed
-    metadata (deterministic fake payloads; rows-only)."""
+    metadata (deterministic fake payloads). Oracle covers (media_ref, kind,
+    size_bytes) — which docs produce media rows, the ref format, and the
+    fetched payload size; content_hash is dropped from the driver compare
+    only because DuckDB's md5 can't hash raw BLOBs (it is pinned by the
+    multimodal pytest suite instead)."""
     from generative_ner_spark.operators import multimodal
     from generative_ner_spark.plans import testdata_kg
 
     docs = testdata_kg.interleaved_docs(spark, sf_dir)
     media = multimodal.extract_media_spans(docs)
-    return multimodal.media_metadata(multimodal.fetch_payloads(media)).orderBy(
-        "media_ref"
+    return (
+        multimodal.media_metadata(multimodal.fetch_payloads(media))
+        .select("media_ref", "kind", "size_bytes")
+        .orderBy("media_ref")
     )
 
 
@@ -589,6 +595,39 @@ def _mention_counts_sql() -> str:
         f"SELECT doc_id, label, CAST(SUM(n) AS BIGINT) AS n_mentions FROM ({union}) "
         f"GROUP BY doc_id, label ORDER BY doc_id, label"
     )
+
+
+def _triples_sql() -> str:
+    """Flagship oracle: replay the full KG pipeline's triple semantics in SQL.
+
+    On the noise-free lexicon corpus the pipeline collapses exactly: every
+    mention surface IS its lexicon term (so linking resolves to T:term with
+    no NIL path), the six entity names are mutual non-near-dups (so
+    canonicalization is the identity), and triples per doc are instance_of
+    per present term + co_occurs_with for every term pair a < b. A term is
+    present iff it whole-word matches (gold construction); grounding then
+    re-finds at least that occurrence.
+    """
+    from generative_ner_spark.plans.testdata_kg import LEXICON
+
+    vals = ", ".join(f"('{t}', '{lb}')" for t, lb in sorted(LEXICON.items()))
+    return f"""
+        WITH present AS (
+            SELECT 'tdoc-' || CAST(doc_id AS VARCHAR) AS doc_id, term, label
+            FROM documents, (VALUES {vals}) AS lex(term, label)
+            WHERE len(regexp_extract_all(lower(text),
+                      '\\b' || term || '\\b', 0)) > 0
+        )
+        SELECT 'T:' || term AS subj_id, 'instance_of' AS pred,
+               label AS obj_id, doc_id, CAST(0 AS INTEGER) AS span_offset
+        FROM present
+        UNION ALL
+        SELECT 'T:' || a.term, 'co_occurs_with', 'T:' || b.term,
+               a.doc_id, CAST(0 AS INTEGER)
+        FROM present a JOIN present b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        ORDER BY doc_id, span_offset, pred, subj_id, obj_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -763,7 +802,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY example_id""",
         "kg_mention_counts": _mention_counts_sql(),
         "kg_mention_counts_individual": _mention_counts_sql(),
-        # rows-only (non-SQL semantics): q18 (xxhash64 hyperplanes),
-        # q19/q20 (xxhash64 simhash/minhash), kg_triples (Python-literal
-        # parse + LSH + iterative CC), kg_media_metadata (binary UDF plumbing)
+        "q25_embedding_near_dups": """
+            -- the planted pairs are the ONLY near-dups (max random cosine
+            -- ~0.33 << 0.99) and LSH recall on them is STRUCTURAL, not
+            -- probabilistic: positive scaling preserves every hyperplane
+            -- sign, so a copy collides with its original in every table
+            SELECT vec_id AS a, vec_id + 1000000 AS b,
+                   round(list_dot_product(embedding, cem) /
+                         (sqrt(list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                          sqrt(list_sum(list_transform(cem,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                       AS cosine
+            FROM (SELECT vec_id, embedding,
+                         list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * 1.001) AS cem
+                  FROM embeddings WHERE vec_id < 10)
+            ORDER BY a, b""",
+        "kg_triples": _triples_sql(),
+        "kg_media_metadata": """
+            SELECT 's3://corpus/media/img-' || CAST(doc_id AS VARCHAR)
+                       AS media_ref,
+                   'image' AS kind,
+                   CAST(128 AS BIGINT) AS size_bytes
+            FROM documents WHERE doc_id % 3 = 0 ORDER BY media_ref""",
+        # rows-only (non-SQL semantics): q18 (md5-derived hyperplane LSH),
+        # q19/q20 (xxhash64 simhash/minhash)
     }

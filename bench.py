@@ -36,6 +36,9 @@ HEADLINE = [
     "q18_ann_lsh_topk",
     "q19_simhash_near_dups",
     "q20_minhash_near_dups",
+    "q22_batch_tasks",
+    "q25_embedding_near_dups",
+    "q28_sync_generate",
     "kg_mention_counts",
     "kg_triples",
 ]

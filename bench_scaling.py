@@ -53,9 +53,9 @@ canon = canonical_map(corpus.entities_df(spark, cfg)).persist()
 canon.count()
 canon_sec = time.time() - t0
 best = None
-for _trial in range(3 if cores > 8 else 2):  # extra trial at the higher
-    # level: it is the one that competes with sandbox background load (the
-    # low level + background always fits under the 32 physical cores)
+for _trial in range(3):  # best-of-3 at BOTH levels: sandbox background
+    # tenant load oscillates on minute scales, so asymmetric trial counts
+    # bias whichever level happened to run during a quiet window
     t0 = time.time()
     res = run_pipeline(spark, None, None, corpus.alias_df(spark, cfg),
                        corpus.entities_df(spark, cfg), cfg,

@@ -159,20 +159,16 @@ def lsh_candidate_pairs(
     # SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
     # arrays through the self-join shuffles ~|shingles| strings per banded
     # row — the dominant cost at corpus scale; join them back per-id after
-    # pair generation instead.
+    # pair generation instead. band_hash = xxhash64 over the band's slice of
+    # the signature — a single transform lambda, so the expression tree is
+    # O(1) in (bands, r) (the unrolled per-band concat_ws/element_at tree
+    # cost seconds of driver-side Catalyst/janino time per fresh plan).
     banded = mh.select(
         "id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", *[F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)]
-                        ),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(slice(minhash, b * {r} + 1, {r}), b))"
             )
         ).alias("band", "band_hash"),
     )

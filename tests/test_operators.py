@@ -420,6 +420,34 @@ class TestDedupSimilarity:
         recall = len(set(exact) & set(approx)) / 8
         assert recall >= 0.75, f"ANN recall {recall} on planted cluster"
 
+    def test_lsh_index_writable_and_reusable(self, spark, tmp_path):
+        """The ANN index is a plain table: write it, read it back, probe the
+        reloaded copy — identical results, zero re-bucketing of the corpus
+        (the probe plan over the reloaded index is scan+filter+topk only,
+        no Python stage)."""
+        import random
+
+        rng = random.Random(11)
+        q = [rng.gauss(0, 1) for _ in range(16)]
+        rows = [(i, [x + rng.gauss(0, 0.05) for x in q]) for i in range(6)]
+        rows += [(50 + i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = similarity.build_lsh_index(em, dim=16, tables=4, planes=6)
+        fresh = [r.vec_id for r in similarity.probe_lsh_index(idx, q, k=6).collect()]
+        p = str(tmp_path / "ann_index")
+        idx.df.write.parquet(p)
+        reloaded = similarity.LshIndex(
+            spark.read.parquet(p), dim=16, tables=4, planes=6,
+            id_col="vec_id", vec_col="embedding",
+        )
+        again = [r.vec_id for r in
+                 similarity.probe_lsh_index(reloaded, q, k=6).collect()]
+        assert again == fresh
+        plan = similarity.probe_lsh_index(reloaded, q, k=6) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
     def test_embedding_near_dup_pairs(self, spark):
         import random
 
@@ -709,3 +737,20 @@ class TestUniversalFormat:
         ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=1)
         with pytest.raises(NotImplementedError):
             detect.generate_stub(ex, cfg, prompt_format="weird")
+        with pytest.raises(NotImplementedError):
+            detect.with_prompt_hash(ex, prompt_format="weird")
+
+    def test_with_prompt_hash_matches_generate_stub(self, spark):
+        """The resume anti-join key (with_prompt_hash) and the generation
+        output's prompt_hash must be the SAME function — per format and
+        language — or resume would regenerate (or worse, skip) rows."""
+        cfg = SynthConfig(n_docs=10)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        for fmt, lang in [("collective", "en"), ("universal", "en"),
+                          ("collective", "ja"), ("universal", "ja")]:
+            want = {r.example_id: r.prompt_hash for r in
+                    detect.generate_stub(ex, cfg, fmt, lang).collect()}
+            got = {r.example_id: r.prompt_hash for r in
+                   detect.with_prompt_hash(ex, fmt, lang)
+                   .select("example_id", "prompt_hash").collect()}
+            assert got == want, (fmt, lang)
