@@ -372,6 +372,156 @@ def detect_mentions_individual(
     return fanned.mapInPandas(fn, _MENTION_SCHEMA)
 
 
+_PROMPT_SCHEMA = (
+    "example_id string, doc_id string, span_offset int, text string, "
+    "label string, gold_output string, "
+    "prompt array<struct<role:string,content:string>>"
+)
+
+
+def render_prompts(
+    examples_with_golds: DataFrame,
+    prompt_format: str = "collective",
+    language: str = "en",
+    demos: list[dict] | None = None,
+    labels2names: dict[str, str] | None = None,
+) -> DataFrame:
+    """Materialize the SUBMITTED chat messages as a prompt column.
+
+    The run_gpt.py restatement: per example, render the format's messages,
+    splice the k sampled demonstrations (collective: full turn pairs before
+    the target, run_gpt.py:113-119; individual: per-label d[i*2:i*2+2]
+    slicing, run_gpt.py:166-180), and strip the gold assistant turn — the
+    result is exactly what the reference submits to the API. ``gold_output``
+    (the stripped gold turn) rides along for estimate-mode cost accounting
+    (openai_api.estimate(messages, gold_output)).
+
+    For 'individual' the output fans out one row per (example, label) with
+    the queried label in ``label``; otherwise ``label`` is null.
+
+    Cache-key unification: md5 of the joined prompt contents of a row
+    rendered here (syncgen.with_sync_prompt_hash) equals with_prompt_hash /
+    generate_stub's prompt_hash for the same (format, language) when
+    demos=[] — pinned in tests — so the sync-generation cache and the
+    pipeline checkpoint share one key space.
+    """
+    if prompt_format not in ("collective", "universal", "individual"):
+        raise NotImplementedError(
+            f"Format '{prompt_format}' is not implemented."
+        )  # parity: preprocessor.py:116
+    if language not in ("en", "ja"):
+        raise ValueError(
+            f"Unsupported language: {language}. Supported languages are 'ja' and 'en'."
+        )
+    from generative_ner_spark.operators import demos as demos_mod
+
+    demo_list = demos or []
+    l2n = labels2names or LABELS2NAMES
+    labels = sorted(l2n)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("example_id", "doc_id", "span_offset",
+                                   "text", "label", "gold_output", "prompt")}
+
+            def emit(eid, did, off, text, label, gold_output, messages):
+                out["example_id"].append(eid)
+                out["doc_id"].append(did)
+                out["span_offset"].append(off)
+                out["text"].append(text)
+                out["label"].append(label)
+                out["gold_output"].append(gold_output)
+                out["prompt"].append(messages)
+
+            for eid, did, off, text, gold in zip(
+                pdf["example_id"], pdf["doc_id"], pdf["span_offset"],
+                pdf["text"], pdf["gold_spans"],
+            ):
+                gold_spans = [(g["start"], g["end"], g["label"]) for g in gold]
+                if prompt_format == "individual":
+                    per_label = []
+                    for lb in labels:
+                        mentions = sorted(
+                            {text[s:e] for s, e, l2 in gold_spans if l2 == lb}
+                        )
+                        per_label.append((l2n[lb], mentions))
+                    messages = textops.get_individual_prompt(
+                        text, per_label, language
+                    )
+                    for i, lb in enumerate(labels):
+                        gold_output = messages[2 + i * 2 + 1]["content"]
+                        spliced = demos_mod.splice_demonstrations_individual(
+                            demo_list, messages, i, l2n, language
+                        )
+                        emit(eid, did, off, text, lb, gold_output, spliced)
+                else:
+                    entity_list = sorted(
+                        {(text[s:e], l2n[lb]) for s, e, lb in gold_spans}
+                    )
+                    if prompt_format == "universal":
+                        messages = textops.get_universal_prompt(
+                            text, entity_list, language
+                        )
+                    else:
+                        messages = textops.get_collective_prompt(
+                            text, entity_list, list(l2n.values()), language
+                        )
+                    gold_output = messages[-1]["content"]
+                    spliced = demos_mod.splice_demonstrations_collective(
+                        demo_list, messages, l2n, language
+                    ) if prompt_format == "collective" else (
+                        # universal shares the collective splice shape:
+                        # full demo turn pairs, then target minus gold turn
+                        sum((textops.get_universal_prompt(
+                            d["text"],
+                            textops.gold_entity_list(
+                                d["text"],
+                                [{"start": s, "end": e, "label": lb}
+                                 for s, e, lb in d["gold_spans"]],
+                                l2n),
+                            language) for d in demo_list), [])
+                        + messages[:-1]
+                    )
+                    emit(eid, did, off, text, None, gold_output, spliced)
+            yield pd.DataFrame(out)
+
+    return examples_with_golds.mapInPandas(fn, _PROMPT_SCHEMA)
+
+
+def ground_individual(generations: DataFrame) -> DataFrame:
+    """Individual-format generations (with the queried ``label`` column) ->
+    grounded mentions (pred.py:56-65: bare-string items only, span label =
+    the queried label)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("example_id", "doc_id", "span_offset", "start", "end",
+                     "label", "mention_norm")}
+            for eid, did, off, text, label, gen in zip(
+                pdf["example_id"], pdf["doc_id"], pdf["span_offset"],
+                pdf["text"], pdf["label"], pdf["generated_text"],
+            ):
+                if gen is None:
+                    continue  # failed generation row (error column set)
+                lowered = text.lower()
+                for s, e, lb in textops.spans_from_generation_individual(
+                    text, gen, label
+                ):
+                    rows["example_id"].append(eid)
+                    rows["doc_id"].append(did)
+                    rows["span_offset"].append(off)
+                    rows["start"].append(s)
+                    rows["end"].append(e)
+                    rows["label"].append(lb)
+                    rows["mention_norm"].append(
+                        textops.normalize_answer(lowered[s:e])
+                    )
+            yield pd.DataFrame(rows)
+
+    return generations.mapInPandas(fn, _MENTION_SCHEMA)
+
+
 def ground(generations: DataFrame, names2labels: dict[str, str] | None = None) -> DataFrame:
     """Generations -> grounded mentions (one row per (start, end, label)).
 

@@ -71,6 +71,40 @@ def stub_sync_responder(messages: list[dict[str, str]], params: dict
     return f"echo:{h}", "stop"
 
 
+def heuristic_ner_responder(messages: list[dict[str, str]], params: dict
+                            ) -> tuple[str, str]:
+    """Deterministic model stand-in that SPEAKS THE OUTPUT CONTRACT.
+
+    Unlike stub_sync_responder (an opaque echo, right for cache/guard
+    plumbing tests), this emits the reference's bracket-list format so the
+    full generate -> parse -> ground -> evaluate chain runs end-to-end with
+    honest, non-degenerate P/R: it tags every maximal capitalized-word run
+    in the prompt's text as ("run", "person") — collective/universal — or
+    returns the bare-string list for individual prompts (detected by their
+    question turn). No gold access: precision/recall land strictly between
+    0 and 1 on the synthetic corpus.
+    """
+    import re as _re
+
+    text = ""
+    for m in messages:
+        if m["role"] != "user":
+            continue
+        for marker in ("Text: ", "Passage: ", "テキスト: "):
+            if marker in m["content"]:
+                text = m["content"].rsplit(marker, 1)[1]
+    runs = sorted(set(
+        _re.findall(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b", text)
+    ))
+    last_user = [m for m in messages if m["role"] == "user"][-1]["content"]
+    individual = ("What describes" in last_user) or ("何の" in last_user)
+    if individual:
+        out = "[" + ", ".join(f'"{r}"' for r in runs) + "]"
+    else:
+        out = "[" + ", ".join(f'("{r}", "person")' for r in runs) + "]"
+    return out, "stop"
+
+
 def generate_sync(
     prompts: DataFrame,
     responder: Responder = stub_sync_responder,

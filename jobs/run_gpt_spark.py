@@ -1,0 +1,189 @@
+"""spark-submit entry point mirroring the reference's run_gpt.py modes.
+
+Reference (src/cli/run_gpt.py): per-example eager loop with modes
+  generate — cache-aware API calls -> parse/ground -> micro P/R/F1 + dump
+  debug    — one example, print instruction/gold/generated, no cache write
+  estimate — no calls; token/cost totals for the whole dataset
+  batch    — accumulate Batch-API task bodies -> 50k-chunk JSONL files
+
+Spark restatement (everything data-parallel; the only driver-side pieces are
+the k-demo sample, metric totals, and debug printing):
+
+    ./scripts/make_pyfiles.sh
+    spark-submit --master local[8] --py-files dist/generative_ner_spark.zip \
+        jobs/run_gpt_spark.py --mode generate --input synth:200 \
+        --format collective --k 2 --output /tmp/gptout
+
+``--input`` takes ``synth:<n_docs>`` (deterministic corpus) or a JSONL dir of
+interleaved documents plus ``--golds`` parquet. The generation backend is the
+``responder`` seam of operators/syncgen.py — the deterministic local stub by
+default (no network in this sandbox), ``--responder module:function`` for a
+real OpenAI-client-backed one in production; the finish-reason guard and the
+md5-of-messages response cache behave identically either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+
+
+def build_examples(spark, args):
+    """(examples_with_golds, golds_df) from synth:<n> or JSONL+golds."""
+    from generative_ner_spark.operators import detect
+    from generative_ner_spark.sources import corpus, io
+    from generative_ner_spark.sources.synth import SynthConfig
+
+    if args.input.startswith("synth:"):
+        cfg = SynthConfig(n_docs=int(args.input.split(":", 1)[1]))
+        docs, golds = corpus.synth_documents(spark, cfg)
+        examples = detect.attach_golds(detect.explode_text_spans(docs), golds)
+        return examples, golds, cfg
+    docs = io.load_documents_json(spark, args.input)
+    if not args.golds:
+        raise SystemExit("--golds is required with a JSONL --input")
+    golds = spark.read.parquet(args.golds)
+    examples = detect.attach_golds(detect.explode_text_spans(docs), golds)
+    return examples, golds, None
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="run_gpt.py, Spark-first")
+    ap.add_argument("--mode", required=True,
+                    choices=["generate", "debug", "estimate", "batch"])
+    ap.add_argument("--input", required=True,
+                    help="synth:<n_docs> or JSONL dir of interleaved docs")
+    ap.add_argument("--golds", default=None, help="gold entities parquet")
+    ap.add_argument("--format", default="collective",
+                    choices=["collective", "universal", "individual"])
+    ap.add_argument("--language", default="en", choices=["en", "ja"])
+    ap.add_argument("--k", type=int, default=0,
+                    help="few-shot demonstrations spliced into every prompt")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--temperature", type=float, default=0.2)
+    ap.add_argument("--top-p", type=float, default=0.0)
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--max-tokens", type=int, default=4096)
+    ap.add_argument("--model", default="gpt-4o-mini-2024-07-18")
+    ap.add_argument("--output", required=True,
+                    help="output dir (predictions / batch files / cache)")
+    ap.add_argument("--responder", default=None,
+                    help="module:function responder override (production)")
+    ap.add_argument("--budget-usd", type=float, default=None,
+                    help="abort like the reference's cost limit (S30)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName(f"run-gpt-{args.mode}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from generative_ner_spark.operators import (
+        batchapi, cost, demos, detect, evaluate, syncgen,
+    )
+
+    examples, golds, _ = build_examples(spark, args)
+    demo_list = (
+        demos.sample_demonstrations(examples, k=args.k, seed=args.seed)
+        if args.k > 0 else []
+    )
+    prompts = detect.render_prompts(
+        examples, args.format, args.language, demos=demo_list
+    )
+    if args.mode == "debug":
+        # reference run_gpt.py:230: debug = first example only, no cache
+        first = prompts.orderBy("example_id", "label").limit(
+            1 if args.format != "individual" else 4)
+        prompts = first
+
+    if args.mode in ("estimate", "batch"):
+        # estimate parity: prompt tokens from the submitted messages, output
+        # tokens from the gold turn (openai_api.estimate(messages, gold))
+        flat = prompts.select(
+            "example_id",
+            F.concat_ws(
+                "\n", F.transform("prompt", lambda m: m["content"])
+            ).alias("_p"),
+            F.col("gold_output").alias("_g"),
+        )
+        est = cost.with_cost_estimate(flat, "_p", "_g")
+        total = cost.total_cost(est)
+        n = est.count()
+        print(json.dumps({"mode": args.mode, "prompts": n,
+                          "estimated_usd": round(total, 6)}))
+        if args.budget_usd is not None and total > args.budget_usd:
+            print(f"estimated cost {total:.4f} exceeds budget "
+                  f"{args.budget_usd:.4f}; aborting", file=sys.stderr)
+            return 2  # reference: cost limit terminates the process (S30)
+        if args.mode == "batch":
+            tasks = batchapi.build_batch_tasks(
+                prompts.select("example_id", "prompt"), model=args.model,
+                temperature=args.temperature, top_p=args.top_p,
+                seed=args.seed, max_tokens=args.max_tokens,
+            )
+            batchapi.save_batch_files(tasks, os.path.join(args.output, "batch"))
+            print(json.dumps({"batch_files": os.path.join(args.output, "batch"),
+                              "tasks": tasks.count()}))
+        return 0
+
+    # ---- generate / debug ------------------------------------------------
+    responder = syncgen.heuristic_ner_responder
+    if args.responder:
+        mod, fn = args.responder.split(":", 1)
+        responder = getattr(importlib.import_module(mod), fn)
+    cache_dir = None if args.mode == "debug" else os.path.join(
+        args.output, "response_cache")  # debug never caches (run_gpt.py:258)
+    gens = syncgen.generate_sync(
+        prompts.select("example_id", "label", "prompt")
+        .withColumn("example_id", F.concat_ws("#", "example_id", "label")),
+        responder, model=args.model, temperature=args.temperature,
+        max_tokens=args.max_tokens, top_p=args.top_p, seed=args.seed,
+        n=args.n, cache_dir=cache_dir,
+    ).withColumn("label", F.get(F.split("example_id", "#"), 1)) \
+     .withColumn("example_id", F.get(F.split("example_id", "#"), 0))
+    keyed = prompts.select(
+        "example_id", "doc_id", "span_offset", "text",
+        F.coalesce("label", F.lit("")).alias("label"),
+    ).join(
+        gens.withColumn("label", F.coalesce("label", F.lit(""))),
+        ["example_id", "label"],
+    )
+    ok = keyed.where(F.col("finish_reason") == "stop")
+    if args.format == "individual":
+        mentions = detect.ground_individual(ok)
+    else:
+        mentions = detect.ground(ok)
+
+    if args.mode == "debug":
+        for r in keyed.collect():  # one example (run_gpt.py debug print)
+            print("Instruction example_id:", r.example_id, "label:", r.label)
+            print("Generated:", r.generated_text)
+        return 0
+
+    frame = evaluate.mention_eval_frame(mentions, golds)
+    metrics = evaluate.evaluate_predictions(frame)
+    preds_path = os.path.join(args.output, "predictions")
+    # reference prediction record shape (run_gpt.py:152): id/text/golds/preds
+    # + generated_text, as a queryable parquet table instead of one JSON file
+    (
+        ok.select("example_id", "text", "generated_text")
+        .join(
+            mentions.groupBy("example_id").agg(
+                F.collect_list(F.struct("start", "end", "label")).alias("preds")
+            ),
+            "example_id", "left",
+        )
+        .write.mode("overwrite").parquet(preds_path)
+    )
+    n_err = keyed.where(F.col("finish_reason") != "stop").count()
+    print(json.dumps({"mode": "generate", "metrics": metrics,
+                      "predictions": preds_path, "generation_errors": n_err}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -279,6 +279,138 @@ class TestSyncGenerate:
         assert out and all(r.generated_text.endswith("t=0.7") for r in out)
 
 
+class TestRenderPrompts:
+    def test_cache_key_unification_no_demos(self, spark):
+        """md5 of render_prompts' submitted messages == the pipeline's
+        with_prompt_hash key — the sync cache and the checkpoint share one
+        key space (syncgen.with_sync_prompt_hash is the JVM twin)."""
+        from generative_ner_spark.operators import syncgen as sg
+
+        cfg = SynthConfig(n_docs=10)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        for fmt in ("collective", "universal"):
+            rendered = sg.with_sync_prompt_hash(detect.render_prompts(ex, fmt))
+            a = {r.example_id: r.prompt_hash for r in
+                 rendered.select("example_id", "prompt_hash").collect()}
+            b = {r.example_id: r.prompt_hash for r in
+                 detect.with_prompt_hash(ex, fmt)
+                 .select("example_id", "prompt_hash").collect()}
+            assert a == b, fmt
+
+    def test_demos_spliced_before_target(self, spark):
+        """k demos contribute their full turn pairs BEFORE the target turn
+        (run_gpt.py:113-119) and change the cache key."""
+        from generative_ner_spark.operators import demos as demos_mod
+        from generative_ner_spark.operators import syncgen as sg
+
+        cfg = SynthConfig(n_docs=10)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        demo_list = demos_mod.sample_demonstrations(ex, k=2, seed=1)
+        plain = {r.example_id: r.prompt for r in
+                 detect.render_prompts(ex, "collective").collect()}
+        with_d = {r.example_id: r.prompt for r in
+                  detect.render_prompts(ex, "collective",
+                                        demos=demo_list).collect()}
+        for eid in plain:
+            assert len(with_d[eid]) == len(plain[eid]) + 4  # 2 demos x 2 turns
+            assert [ (m.role, m.content) for m in with_d[eid][-len(plain[eid]):] ] \
+                == [ (m.role, m.content) for m in plain[eid] ]
+            # demo turns are (user, assistant) gold pairs
+            assert [m.role for m in with_d[eid][:4]] == [
+                "user", "assistant", "user", "assistant"]
+        ha = {r.example_id: r.prompt_hash for r in sg.with_sync_prompt_hash(
+            detect.render_prompts(ex, "collective")).collect()}
+        hb = {r.example_id: r.prompt_hash for r in sg.with_sync_prompt_hash(
+            detect.render_prompts(ex, "collective", demos=demo_list)).collect()}
+        assert all(ha[k] != hb[k] for k in ha)
+
+    def test_individual_fanout_and_gold(self, spark):
+        """One row per (example, label); the submitted prompt ends with the
+        queried label's user turn (answer stripped); gold_output is that
+        label's bracket list."""
+        cfg = SynthConfig(n_docs=6)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=1)
+        n_ex = ex.count()
+        rows = detect.render_prompts(ex, "individual").collect()
+        assert len(rows) == n_ex * len(LABELS2NAMES)
+        for r in rows:
+            assert r.label in LABELS2NAMES
+            assert r.prompt[-1].role == "user"
+            assert LABELS2NAMES[r.label] in r.prompt[-1].content
+            assert r.gold_output.startswith("[")
+
+
+class TestRunGptCli:
+    """jobs/run_gpt_spark.py — the run_gpt.py mode parity surface."""
+
+    def _run(self, args, capsys):
+        import jobs.run_gpt_spark as cli
+
+        rc = cli.main(args)
+        out = capsys.readouterr().out.strip().splitlines()
+        return rc, [json.loads(line) for line in out if line.startswith("{")]
+
+    def test_estimate_and_budget_abort(self, spark, tmp_path, capsys):
+        rc, out = self._run(
+            ["--mode", "estimate", "--input", "synth:20",
+             "--output", str(tmp_path / "o1")], capsys)
+        assert rc == 0 and out[0]["estimated_usd"] > 0
+        assert out[0]["prompts"] >= 20  # one prompt per TEXT SPAN (docs
+        # are interleaved: most have several text spans)
+        rc, _ = self._run(
+            ["--mode", "estimate", "--input", "synth:20",
+             "--budget-usd", "0.0000001",
+             "--output", str(tmp_path / "o2")], capsys)
+        assert rc == 2  # S30: cost limit aborts
+
+    def test_batch_mode_writes_task_files(self, spark, tmp_path, capsys):
+        rc, out = self._run(
+            ["--mode", "batch", "--input", "synth:15", "--k", "1",
+             "--output", str(tmp_path / "b")], capsys)
+        assert rc == 0
+        n_tasks = out[-1]["tasks"]
+        assert n_tasks >= 15
+        back = spark.read.json(str(tmp_path / "b" / "batch"))
+        assert back.count() == n_tasks
+        assert {r.custom_id for r in back.select("custom_id").collect()} == {
+            f"task-{i}" for i in range(n_tasks)}
+
+    def test_generate_collective_with_demos(self, spark, tmp_path, capsys):
+        rc, out = self._run(
+            ["--mode", "generate", "--input", "synth:30", "--k", "2",
+             "--output", str(tmp_path / "g")], capsys)
+        assert rc == 0
+        m = out[-1]["metrics"]
+        # heuristic responder: real but imperfect tagging -> honest P/R
+        assert 0 < m["precision"] < 1 and 0 < m["recall"] < 1
+        assert m["n_pred"] > 0
+        preds = spark.read.parquet(str(tmp_path / "g" / "predictions"))
+        assert preds.count() >= 30  # one row per text-span example
+        # response cache written and keyed by prompt hash: re-run is stable
+        rc2, out2 = self._run(
+            ["--mode", "generate", "--input", "synth:30", "--k", "2",
+             "--output", str(tmp_path / "g")], capsys)
+        assert out2[-1]["metrics"] == m
+
+    def test_generate_individual(self, spark, tmp_path, capsys):
+        rc, out = self._run(
+            ["--mode", "generate", "--input", "synth:12",
+             "--format", "individual",
+             "--output", str(tmp_path / "gi")], capsys)
+        assert rc == 0
+        m = out[-1]["metrics"]
+        assert m["n_pred"] > 0 and 0 < m["recall"] <= 1
+
+    def test_debug_mode_prints_and_skips_cache(self, spark, tmp_path, capsys):
+        import jobs.run_gpt_spark as cli
+
+        rc = cli.main(["--mode", "debug", "--input", "synth:6",
+                       "--output", str(tmp_path / "d")])
+        out = capsys.readouterr().out
+        assert rc == 0 and "Generated:" in out
+        assert not (tmp_path / "d" / "response_cache").exists()
+
+
 class TestCost:
     def test_cost_columns_and_budget(self, spark):
         df = spark.createDataFrame(
