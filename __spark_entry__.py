@@ -468,9 +468,23 @@ def q28_sync_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("example_id")
 
 
+def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse k-means cells + nprobe probe + exact re-rank) against
+    the vec_id=0 query — the second scale path beside hyperplane LSH (q18).
+    Driver-trained centroids => rows-only check; recall vs the exact q17
+    top-k is pinned in tests."""
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = em.where("vec_id = 0").select("embedding").first()[0]
+    return similarity.ivf_topk(
+        em.where("vec_id != 0"), list(qvec), dim=len(qvec), k=10,
+        n_cells=16, nprobe=6,
+    )
+
+
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: emitted (subj, pred, obj) triples (rows-only check; the
-    P/R>=0.95 gate vs the reference loop lives in tests/test_pipeline.py)."""
+    """Flagship: emitted (subj, pred, obj) triples (the P/R>=0.95 gate vs
+    the reference loop lives in tests/test_pipeline.py; full DuckDB oracle
+    on the noise-free lexicon corpus)."""
     from generative_ner_spark.plans import testdata_kg
 
     res = testdata_kg.run_testdata_pipeline(spark, sf_dir)
@@ -537,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_chunk_documents": q26_chunk_documents,
         "q27_curation_report": q27_curation_report,
         "q28_sync_generate": q28_sync_generate,
+        "q29_ivf_topk": q29_ivf_topk,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,

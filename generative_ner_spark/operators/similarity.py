@@ -268,6 +268,120 @@ def lsh_bucketed_topk(
     return probe_lsh_index(index, query, k)
 
 
+@dataclass
+class IvfIndex:
+    """IVF (inverted-file) ANN index: rows partitioned by nearest coarse
+    centroid. ``df`` holds (id, vec, _cell int); ``centroids`` is the
+    (n_cells, dim) numpy array (driver-side, kilobytes — it rides into
+    probe filters as literals). The scale shape: writing ``df`` partitioned
+    by _cell gives partition pruning on probes — a probe reads only the
+    ``nprobe`` nearest cells' files, never the full corpus."""
+
+    df: DataFrame
+    centroids: "np.ndarray"
+    id_col: str
+    vec_col: str
+
+
+def _kmeans_centroids(sample: "np.ndarray", n_cells: int, iters: int = 10,
+                      seed: int = 0) -> "np.ndarray":
+    """Deterministic Lloyd's k-means on a driver-side sample (numpy).
+
+    kmeans++-lite seeding: first centroid = sample[0] of the seeded
+    permutation, then farthest-point refinement — deterministic for a given
+    (sample, seed), no RNG state at probe time.
+    """
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(sample))[:n_cells]
+    C = sample[idx].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Train coarse centroids on a seeded sample, assign every row to its
+    nearest cell in one vectorized pandas-UDF pass.
+
+    Scale notes: the sample is a driver-side collect of ``sample_size``
+    rows (k-means on 10^3-10^4 points is milliseconds); assignment is one
+    narrow Arrow pass (numpy argmin over a (batch, cells) distance matrix);
+    nothing shuffles. Persist or write ``index.df`` partitioned by _cell
+    for pruned probes.
+    """
+    sample_rows = (
+        embeddings.select(F.col(vec_col).alias("_v"),
+                          F.xxhash64(F.col(id_col), F.lit(seed)).alias("_o"))
+        .orderBy("_o")  # seeded deterministic sample via TakeOrdered
+        .limit(sample_size)
+        .collect()
+    )
+    S = np.asarray([list(r["_v"]) for r in sample_rows], dtype=np.float64)
+    C = _kmeans_centroids(S, n_cells, kmeans_iters, seed)
+
+    @pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(list(vecs), dtype=np.float64)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    df = embeddings.select(
+        id_col, vec_col, cell_udf(F.col(vec_col)).alias("_cell")
+    )
+    return IvfIndex(df, C, id_col, vec_col)
+
+
+def probe_ivf_index(index: IvfIndex, query: list[float], k: int = 10,
+                    nprobe: int = 4) -> DataFrame:
+    """Probe: rank cells by centroid distance DRIVER-SIDE (numpy over the
+    kilobyte centroid table — no Spark job), filter the index to the
+    ``nprobe`` nearest cells (an IN filter that partition-prunes a
+    cell-partitioned index), exact cosine re-rank, TakeOrderedAndProject."""
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    d2 = ((index.centroids - q[None, :]) ** 2).sum(axis=1)
+    cells = [int(c) for c in d2.argsort()[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    scored = index.df.where(F.col("_cell").isin(cells)).select(
+        F.col(index.id_col),
+        F.round(cosine_col(F.col(index.vec_col), qcol), 6).alias("cosine"),
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col(index.id_col).asc()
+    ).limit(k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN in one shot (train + assign + probe); callers with many
+    probes build the index once and persist/write it partitioned by _cell."""
+    index = build_ivf_index(embeddings, dim, n_cells=n_cells, seed=seed,
+                            id_col=id_col, vec_col=vec_col)
+    return probe_ivf_index(index, query, k, nprobe)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -552,6 +552,48 @@ class TestDedupSimilarity:
         recall = len(set(exact) & set(approx)) / 8
         assert recall >= 0.75, f"ANN recall {recall} on planted cluster"
 
+    def test_ivf_finds_planted_neighbors(self, spark):
+        """IVF: the planted cluster shares the query's nearest cells, so
+        nprobe covering them gives high recall at a fraction of the scan."""
+        import random
+
+        rng = random.Random(13)
+        q = [rng.gauss(0, 1) for _ in range(32)]
+        rows = [(i, [x + rng.gauss(0, 0.05) for x in q]) for i in range(8)]
+        rows += [(100 + i, [rng.gauss(0, 1) for _ in range(32)])
+                 for i in range(300)]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = [r.vec_id for r in similarity.brute_force_topk(em, q, k=8).collect()]
+        assert set(exact) == set(range(8))
+        approx = [r.vec_id for r in similarity.ivf_topk(
+            em, q, dim=32, k=8, n_cells=8, nprobe=3).collect()]
+        recall = len(set(exact) & set(approx)) / 8
+        assert recall >= 0.75, f"IVF recall {recall} on planted cluster"
+
+    def test_ivf_index_partition_pruned_probe(self, spark, tmp_path):
+        """The IVF index written partitionBy(_cell) gives probes that
+        partition-prune: the reloaded-index probe reads only nprobe cells
+        and returns the same results as the fresh in-memory probe."""
+        import random
+
+        rng = random.Random(17)
+        q = [rng.gauss(0, 1) for _ in range(16)]
+        rows = [(i, [x + rng.gauss(0, 0.05) for x in q]) for i in range(5)]
+        rows += [(50 + i, [rng.gauss(0, 1) for _ in range(16)])
+                 for i in range(120)]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = similarity.build_ivf_index(em, dim=16, n_cells=6)
+        fresh = [r.vec_id for r in
+                 similarity.probe_ivf_index(idx, q, k=5, nprobe=2).collect()]
+        p = str(tmp_path / "ivf")
+        idx.df.write.partitionBy("_cell").parquet(p)
+        reloaded = similarity.IvfIndex(
+            spark.read.parquet(p), idx.centroids, "vec_id", "embedding")
+        probe = similarity.probe_ivf_index(reloaded, q, k=5, nprobe=2)
+        assert [r.vec_id for r in probe.collect()] == fresh
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_cell" in plan
+
     def test_lsh_index_writable_and_reusable(self, spark, tmp_path):
         """The ANN index is a plain table: write it, read it back, probe the
         reloaded copy — identical results, zero re-bucketing of the corpus
