@@ -340,6 +340,29 @@ class TestRenderPrompts:
             assert r.gold_output.startswith("[")
 
 
+class TestConvertConllCli:
+    def test_roundtrip_matches_kernel(self, spark, tmp_path, capsys):
+        """jobs/convert_conll.py output == the pure decode kernel, through
+        the real spark-submit main()."""
+        import jobs.convert_conll as cli
+
+        raw = tmp_path / "eng.train"
+        raw.write_text(CONLL_SAMPLE)
+        rc = cli.main(["--split", f"train={raw}",
+                       "--output", str(tmp_path / "out")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        back = spark.read.json(str(tmp_path / "out" / "train"))
+        want = list(conll.conll_lines_to_documents(
+            CONLL_SAMPLE.splitlines(), str(raw)))
+        assert out["documents"]["train"] == len(want)
+        got_texts = {
+            e.text for r in back.collect() for e in r.examples
+        }
+        want_texts = {e["text"] for d in want for e in d["examples"]}
+        assert got_texts == want_texts
+
+
 class TestRunGptCli:
     """jobs/run_gpt_spark.py — the run_gpt.py mode parity surface."""
 
