@@ -120,8 +120,15 @@ def main(argv: list[str] | None = None) -> int:
                   f"{args.budget_usd:.4f}; aborting", file=sys.stderr)
             return 2  # reference: cost limit terminates the process (S30)
         if args.mode == "batch":
+            # individual format fans out per label: the task key must be
+            # (example, label) so the retrieval join is unambiguous — the
+            # same '#' encoding generate mode uses
             tasks = batchapi.build_batch_tasks(
-                prompts.select("example_id", "prompt"), model=args.model,
+                prompts.select(
+                    F.concat_ws("#", "example_id", "label").alias("example_id"),
+                    "prompt",
+                ),
+                model=args.model,
                 temperature=args.temperature, top_p=args.top_p,
                 seed=args.seed, max_tokens=args.max_tokens,
             )

@@ -340,6 +340,32 @@ class TestRenderPrompts:
             assert r.gold_output.startswith("[")
 
 
+class TestTripleSnapshots:
+    def test_snapshot_commit_and_time_travel(self, spark, tmp_path):
+        from generative_ner_spark.operators import triples as T
+
+        path = str(tmp_path / "sink")
+        df1 = spark.createDataFrame(
+            [("a", "instance_of", "ORG", "d1", 0, 0)],
+            "subj_id string, pred string, obj_id string, doc_id string, "
+            "span_offset int, partition_id int")
+        df2 = df1.unionByName(spark.createDataFrame(
+            [("b", "co_occurs_with", "a", "d2", 0, 0)], df1.schema))
+        v1 = T.write_triples_snapshot(df1, path)
+        v2 = T.write_triples_snapshot(df2, path)
+        assert (v1, v2) == (1, 2)
+        cur = T.read_triples_snapshot(spark, path)
+        assert cur.count() == 2  # current == latest
+        old = T.read_triples_snapshot(spark, path, version=1)
+        assert old.count() == 1  # time travel / rollback target intact
+        with pytest.raises(ValueError):
+            T.read_triples_snapshot(spark, path, version=9)
+        # versions are immutable: rewriting an existing version must fail
+        with pytest.raises(Exception):
+            df1.write.mode("errorifexists").partitionBy("pred").parquet(
+                str(tmp_path / "sink" / "v=1"))
+
+
 class TestConvertConllCli:
     def test_roundtrip_matches_kernel(self, spark, tmp_path, capsys):
         """jobs/convert_conll.py output == the pure decode kernel, through
@@ -423,6 +449,33 @@ class TestRunGptCli:
         assert rc == 0
         m = out[-1]["metrics"]
         assert m["n_pred"] > 0 and 0 < m["recall"] <= 1
+
+    def test_batch_roundtrip_equals_sync_generate(self, spark, tmp_path,
+                                                  capsys):
+        """submit (run_gpt --mode batch) -> retrieve+score
+        (run_batchapi_spark --simulate) must yield EXACTLY the metrics of
+        the sync generate path — same prompts, same responder, keyed
+        (order-scrambled) rejoin instead of the reference's pop(0)."""
+        import jobs.run_batchapi_spark as rcli
+
+        for fmt in ("collective", "individual"):
+            d = tmp_path / fmt
+            rc, _ = self._run(
+                ["--mode", "batch", "--input", "synth:16", "--format", fmt,
+                 "--output", str(d / "submit")], capsys)
+            assert rc == 0
+            rc = rcli.main(
+                ["--input", "synth:16", "--format", fmt,
+                 "--tasks", str(d / "submit" / "batch"), "--simulate",
+                 "--output", str(d / "score")])
+            out = capsys.readouterr().out.strip().splitlines()
+            m_batch = json.loads(out[-1])["metrics"]
+            assert rc == 0
+            rc, gout = self._run(
+                ["--mode", "generate", "--input", "synth:16", "--format", fmt,
+                 "--output", str(d / "sync")], capsys)
+            assert rc == 0
+            assert gout[-1]["metrics"] == m_batch, fmt
 
     def test_debug_mode_prints_and_skips_cache(self, spark, tmp_path, capsys):
         import jobs.run_gpt_spark as cli
