@@ -39,6 +39,7 @@ HEADLINE = [
     "q22_batch_tasks",
     "q25_embedding_near_dups",
     "q28_sync_generate",
+    "q29_ivf_topk",
     "kg_mention_counts",
     "kg_triples",
 ]
