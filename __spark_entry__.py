@@ -468,6 +468,23 @@ def q28_sync_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("example_id")
 
 
+def q30_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain (quality gates + lang gate + exact-dedup
+    keep-min) over a corpus salted with exact copies of the first 10 docs —
+    the dedup step demonstrably fires and the full oracle replays every
+    stage (filters-before-shuffle semantics proven value-equal)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where("doc_id < 10").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    curated = quality.curate(
+        d.unionByName(dups), lang="en", min_tokens=20, max_stopword_ratio=0.5
+    )
+    return curated.select(
+        "doc_id", "lang_pred", "q_n_tokens", "q_stopword_ratio", "fingerprint"
+    ).orderBy("doc_id")
+
+
 def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (coarse k-means cells + nprobe probe + exact re-rank) against
     the vec_id=0 query — the second scale path beside hyperplane LSH (q18).
@@ -552,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_curation_report": q27_curation_report,
         "q28_sync_generate": q28_sync_generate,
         "q29_ivf_topk": q29_ivf_topk,
+        "q30_curated_documents": q30_curated_documents,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -570,7 +588,7 @@ _WS_TOKENS_SQL = (
 )
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(from_: str = "documents", order_by: bool = True) -> str:
     langs = sorted(LANG_MARKERS)  # de, en, es, fr — same order as Spark side
     hits = ", ".join(
         f"len(regexp_extract_all(lower(text), '{LANG_MARKERS[lang]}', 0)) AS h_{lang}"
@@ -589,7 +607,8 @@ def _lang_id_sql() -> str:
     zero = " AND ".join(f"h_{lang} = 0" for lang in langs)
     return (
         f"SELECT doc_id, CASE WHEN {zero} THEN 'und' {case} END AS lang_pred "
-        f"FROM (SELECT doc_id, {hits} FROM documents) ORDER BY doc_id"
+        f"FROM (SELECT doc_id, {hits} FROM {from_})"
+        + (" ORDER BY doc_id" if order_by else "")
     )
 
 
@@ -834,6 +853,32 @@ def oracle_sql() -> dict[str, str]:
                              x -> CAST(x AS DOUBLE) * 1.001) AS cem
                   FROM embeddings WHERE vec_id < 10)
             ORDER BY a, b""",
+        "q30_curated_documents": f"""
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+            ),
+            q AS (
+                SELECT doc_id,
+                       {_WS_TOKENS_SQL} AS q_n_tokens,
+                       round(len(regexp_extract_all(lower(text),
+                             '\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b', 0))
+                             / greatest({_WS_TOKENS_SQL}, 1), 6)
+                           AS q_stopword_ratio,
+                       md5({_NORM_SQL}) AS fingerprint
+                FROM docs
+            ),
+            l AS ({_lang_id_sql(from_="docs", order_by=False)})
+            SELECT q.doc_id, l.lang_pred, q.q_n_tokens, q.q_stopword_ratio,
+                   q.fingerprint
+            FROM q JOIN l USING (doc_id)
+            WHERE l.lang_pred = 'en'
+              AND q.q_n_tokens BETWEEN 20 AND 100000
+              AND q.q_stopword_ratio <= 0.5
+            QUALIFY row_number() OVER (PARTITION BY q.fingerprint
+                                       ORDER BY q.doc_id) = 1
+            ORDER BY q.doc_id""",
         "kg_triples": _triples_sql(),
         "kg_media_metadata": """
             SELECT 's3://corpus/media/img-' || CAST(doc_id AS VARCHAR)

@@ -114,6 +114,53 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str | None = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 1.0,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """End-to-end curation: quality gates + lang gate + exact-dedup keep-min.
+
+    The standard pretraining-corpus curation chain as ONE declarative plan:
+      1. quality_features + lang_id        (two narrow projections)
+      2. threshold filters                  (codegen'd, pushed early)
+      3. exact dedup: keep the min id per md5-of-normalized-text
+         fingerprint (window over the fingerprint — the dedup groupBy
+         shuffle is the plan's only exchange; fingerprints are uniform
+         md5s, so no skew).
+
+    Returns the surviving rows with (lang_pred, fingerprint, quality
+    features) attached. Filters run BEFORE the dedup shuffle, so rejected
+    docs never shuffle — at 100 TB that ordering is the difference between
+    shuffling the corpus and shuffling the survivors.
+    """
+    feat = lang_id(quality_features(df, text_col), text_col)
+    cond = (
+        (F.col("q_n_tokens") >= min_tokens)
+        & (F.col("q_n_tokens") <= max_tokens)
+        & (F.col("q_stopword_ratio") <= max_stopword_ratio)
+        & (F.col("q_stopword_ratio") >= min_stopword_ratio)
+    )
+    if lang is not None:
+        cond = cond & (F.col("lang_pred") == lang)
+    filtered = feat.where(cond).withColumn(
+        "fingerprint", fingerprint_col(text_col)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def fingerprint_col(col: str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

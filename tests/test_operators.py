@@ -928,6 +928,27 @@ class TestConnectedComponentsIterative:
         assert stats["converged"] and stats["rounds"] <= 16, stats
 
 
+class TestCurate:
+    def test_filters_lang_and_dedup(self, spark):
+        from generative_ner_spark.operators import quality
+
+        en = "the cat and the dog sat on the mat in the house with the bird"
+        rows = [
+            (1, en),                              # keep
+            (2, en),                              # exact dup of 1 -> dropped
+            (3, "short text"),                    # too few tokens
+            (4, "der Hund ist nicht im Haus und die Katze ist da auch nicht hier"),  # lang != en
+            (5, en + " extra tail words here"),   # keep (distinct fp)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = quality.curate(df, lang="en", min_tokens=5)
+        kept = {r.doc_id for r in out.collect()}
+        assert kept == {1, 5}
+        # keep-min: the surviving duplicate is the smallest id
+        fp = {r.doc_id: r.fingerprint for r in out.collect()}
+        assert 1 in fp and 2 not in fp
+
+
 class TestLangId:
     def test_marker_langs(self, spark):
         rows = [
