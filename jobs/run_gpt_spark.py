@@ -93,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     prompts = detect.render_prompts(
         examples, args.format, args.language, demos=demo_list
-    )
+    ).persist()  # feeds two plan branches (generate + rejoin / est + tasks):
+    # without this each branch re-runs the Python render pass
     if args.mode == "debug":
         # reference run_gpt.py:230: debug = first example only, no cache
         first = prompts.orderBy("example_id", "label").limit(
