@@ -317,18 +317,17 @@ def detect_mentions_individual(
         import random as _random
 
         base = sorted(l2n)
-        perms = {}  # one deterministic permutation per example
 
+        # no memo: the permutation is a cheap O(n_labels) seeded shuffle,
+        # and example_ids rarely repeat within a worker — a dict keyed on
+        # them would grow for the lifetime of each long-lived Python worker
         @pandas_udf("array<string>")
         def order_udf(eids: pd.Series) -> pd.Series:
             out = []
             for eid in eids:
-                key = str(eid)
-                if key not in perms:
-                    labels = list(base)
-                    _random.Random(f"{seed}:{key}").shuffle(labels)
-                    perms[key] = labels
-                out.append(perms[key])
+                labels = list(base)
+                _random.Random(f"{seed}:{eid}").shuffle(labels)
+                out.append(labels)
             return pd.Series(out)
 
         fanned = examples_with_golds.withColumn(

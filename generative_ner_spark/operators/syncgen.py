@@ -175,9 +175,17 @@ def generate_sync(
         pending = hashed.join(cached_hashes, "prompt_hash", "left_anti")
     else:
         pending = hashed
-    fresh_ok = respond(pending).where(F.col("finish_reason") == "stop")
+    # One responder call per pending prompt, total (reference semantics:
+    # openai_api.py:258-266 calls once per cache miss). localCheckpoint
+    # materializes the mapInPandas output eagerly so neither the cache
+    # write nor any downstream action (metrics, sinks, error counts)
+    # re-invokes the responder — against a paid API a lazy plan here would
+    # mean duplicate spend, and a flaky responder could return different
+    # text per action within one run.
+    fresh = respond(pending).localCheckpoint()
     (
-        fresh_ok.select("prompt_hash", "generated_text")
+        fresh.where(F.col("finish_reason") == "stop")
+        .select("prompt_hash", "generated_text")
         .dropDuplicates(["prompt_hash"])
         .write.mode("append").parquet(cache_dir)
     )
@@ -187,9 +195,6 @@ def generate_sync(
         F.lit("stop").alias("finish_reason"),
         F.lit(None).cast("string").alias("error"),
     )
-    # prompts still absent from the cache are exactly the failures: re-call
-    # the responder for them (a retry) so their error rows surface in the
-    # output instead of being silently dropped
-    failed = respond(hashed.join(cache.select("prompt_hash"),
-                                 "prompt_hash", "left_anti"))
+    # failures surface from the SAME materialization — no second call
+    failed = fresh.where(F.col("finish_reason") != "stop")
     return served.unionByName(failed)

@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sink", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--metrics", action="store_true")
+    ap.add_argument("--canonical", default=None,
+                    help="canonical-map parquet: read if it exists, else "
+                         "compute from --entities and write there (the map "
+                         "depends only on the entity catalog — compute once "
+                         "per catalog version, reuse across runs)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -63,11 +68,24 @@ def main(argv: list[str] | None = None) -> int:
         alias_df = spark.read.parquet(args.alias)
         entities_df = spark.read.parquet(args.entities)
 
+    canonical_df = None
+    if args.canonical:
+        import os
+
+        from generative_ner_spark.operators import canonicalize
+
+        if os.path.exists(args.canonical):
+            canonical_df = spark.read.parquet(args.canonical)
+        else:
+            canonicalize.canonical_map(entities_df).write.parquet(args.canonical)
+            canonical_df = spark.read.parquet(args.canonical)
+
     res = run_pipeline(
         spark, docs, golds, alias_df, entities_df, cfg,
         checkpoint_dir=args.checkpoint,
         sink_path=args.sink,
         collect_metrics=args.metrics,
+        canonical_df=canonical_df,
     )
     print(json.dumps({
         "sink": args.sink,

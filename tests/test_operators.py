@@ -202,6 +202,26 @@ class TestBatchApi:
         assert len(files) >= 3  # 250 rows / 100 per file
 
 
+def _counting_responder(log_path, tag="C"):
+    """Responder factory that appends one line per invocation to log_path
+    (O_APPEND is atomic for short writes; local mode shares the FS), so
+    tests can count EXACTLY how many times the responder ran — the proxy
+    for paid-API spend."""
+
+    def responder(messages, params):
+        import hashlib
+
+        joined = "\n".join(m["content"] for m in messages)
+        h = hashlib.md5(joined.encode()).hexdigest()
+        with open(log_path, "a") as f:
+            f.write(h + "\n")
+        if h[0] == "0":
+            return "", "length"
+        return f"{tag}:{h}", "stop"
+
+    return responder
+
+
 def _tracking_responder(tag):
     """Responder factory: echoes a tag so tests can tell WHO generated."""
 
@@ -277,6 +297,59 @@ class TestSyncGenerate:
             self._prompts(spark, 8), _tracking_responder("A"), temperature=0.7
         ).where("finish_reason = 'stop'").collect()
         assert out and all(r.generated_text.endswith("t=0.7") for r in out)
+
+    def test_responder_called_once_per_pending_prompt(self, spark, tmp_path):
+        """The cache path materializes the responder output ONCE: multiple
+        downstream actions (metrics, sinks, error counts — run_gpt_spark
+        runs 3+) must NOT re-invoke it, and failures must not be called a
+        second time within one run (reference calls once per cache miss,
+        openai_api.py:258-266). Against a paid API every extra invocation
+        is duplicate spend."""
+        cache = str(tmp_path / "sync_cache")
+        log = str(tmp_path / "calls.log")
+        prompts = self._prompts(spark, 120)
+        out = syncgen.generate_sync(prompts, _counting_responder(log),
+                                    cache_dir=cache)
+        rows = out.collect()                                  # action 1
+        n_err = out.where("finish_reason != 'stop'").count()  # action 2
+        assert out.count() == 120                             # action 3
+        calls = open(log).read().splitlines()
+        assert len(calls) == 120, \
+            f"expected 1 call per prompt, got {len(calls)} for 120 prompts"
+        assert n_err == sum(1 for r in rows if r.finish_reason != "stop")
+        # run 2: only the previous failures are retried
+        log2 = str(tmp_path / "calls2.log")
+        syncgen.generate_sync(prompts, _counting_responder(log2, "B"),
+                              cache_dir=cache).collect()
+        assert len(open(log2).read().splitlines()) == n_err
+
+    def test_retry_success_is_written_to_cache(self, spark, tmp_path):
+        """A prompt that failed in run 1 and succeeds on the run-2 retry
+        must be CACHED by run 2 — run 3 serves it without calling the
+        responder (pre-fix the retry success was returned but never
+        cached, so every subsequent run re-paid for it)."""
+        cache = str(tmp_path / "sync_cache")
+        prompts = self._prompts(spark, 40)
+
+        def fail_all(messages, params):
+            return "", "length"
+
+        r1 = syncgen.generate_sync(prompts, fail_all, cache_dir=cache).collect()
+        assert all(r.finish_reason == "length" for r in r1)
+        log2 = str(tmp_path / "calls2.log")
+        r2 = syncgen.generate_sync(prompts, _counting_responder(log2, "B"),
+                                   cache_dir=cache).collect()
+        assert len(open(log2).read().splitlines()) == 40  # all retried once
+        n_fail2 = sum(1 for r in r2 if r.finish_reason != "stop")
+        assert 0 < n_fail2 < 40  # stub fails ~1/16, succeeds the rest
+        log3 = str(tmp_path / "calls3.log")
+        r3 = syncgen.generate_sync(prompts, _counting_responder(log3, "Z"),
+                                   cache_dir=cache).collect()
+        # only the still-failing prompts are called in run 3
+        assert len(open(log3).read().splitlines()) == n_fail2
+        for r in r3:
+            if r.finish_reason == "stop":
+                assert r.generated_text.startswith("B:")  # served from run-2 cache
 
 
 class TestRenderPrompts:
