@@ -236,8 +236,12 @@ def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q18_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; xxhash64 hyperplanes => rows-only check;
-    recall vs q17 is pinned in tests/test_similarity.py)."""
+    """LSH-bucketed ANN (scale path). FULL DuckDB oracle: the hyperplanes
+    are deterministic md5-derived ±1 constants (similarity._hyperplane), so
+    the oracle embeds them as literals and replays the ENTIRE probe —
+    per-table sign-bit bucketing, OR-of-collisions candidate filter, exact
+    cosine re-rank — end-to-end in SQL. Recall vs the exact q17 top-k is
+    additionally pinned in tests/test_operators.py."""
     em = _t(spark, sf_dir, "embeddings")
     qvec = em.where("vec_id = 0").select("embedding").first()[0]
     # planes=6 (64 buckets/table) keeps bucket occupancy high enough on a
@@ -250,7 +254,12 @@ def q18_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs; corpus is salted with truncated copies of the
-    first 20 docs so the operator demonstrably fires (xxhash64 => rows-only)."""
+    first 20 docs so the operator demonstrably fires. Uses the md5 hash
+    family (60-bit signature) so the DuckDB oracle replays signatures +
+    the hamming<=3 pair set end-to-end: with 4 equal chunks and hamming<=3
+    the banding output EQUALS brute-force hamming pairs (pigeonhole), which
+    is exactly what the oracle computes. The xxhash64 fast family is pinned
+    separately in tests."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = (
         d.where("doc_id < 20")
@@ -260,12 +269,17 @@ def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.simhash_near_dup_pairs(
-        d.unionByName(mutated), max_hamming=3
+        d.unionByName(mutated), max_hamming=3, hash_family="md5"
     ).orderBy("a", "b")
 
 
 def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over the same salted corpus (rows-only)."""
+    """MinHash-LSH near-dup pairs over the same salted corpus. Uses the md5
+    hash family so the DuckDB oracle replays shingling, the k=64 universal-
+    hash minhash signature, 8-band blocking (slice equality) and the exact-
+    Jaccard verify end-to-end. max_bucket is lifted so the output is the
+    pure LSH-blocked pair set (the hot-bucket cap is exercised by the
+    canonicalize tests)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = (
         d.where("doc_id < 20")
@@ -278,6 +292,8 @@ def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.near_duplicate_pairs_minhash(
             d.unionByName(mutated).withColumn("doc_id", F.col("doc_id").cast("string")),
             jaccard_threshold=0.8,
+            max_bucket=1 << 30,
+            hash_family="md5",
         )
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a", "b")
@@ -488,12 +504,27 @@ def q30_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (coarse k-means cells + nprobe probe + exact re-rank) against
     the vec_id=0 query — the second scale path beside hyperplane LSH (q18).
-    Driver-trained centroids => rows-only check; recall vs the exact q17
-    top-k is pinned in tests."""
-    em = _t(spark, sf_dir, "embeddings")
+
+    Oracle strategy (driver-trained k-means centroids are not SQL-
+    replayable): the corpus is salted with 12 positively-scaled copies of
+    the query vector — they sit at cosine 1.0 (max random cosine ~0.37) and
+    assign to the query's own coarse cell, the probe's rank-1 cell, so the
+    probe's top-10 == exact top-10 == the first 10 copies STRUCTURALLY.
+    The DuckDB oracle replays exactly that (same pattern as q25). Raw-
+    corpus recall vs the exact q17 top-k stays pinned in tests."""
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = em.where("vec_id = 0").select("embedding").first()[0]
+    copies = (
+        em.where("vec_id = 0")
+        .crossJoin(spark.range(12).select(F.col("id").alias("_i")))
+        .select(
+            (F.col("_i") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        )
+    )
+    corpus = em.where("vec_id != 0").unionByName(copies)
     return similarity.ivf_topk(
-        em.where("vec_id != 0"), list(qvec), dim=len(qvec), k=10,
+        corpus, list(qvec), dim=len(qvec), k=10,
         n_cells=16, nprobe=6,
     )
 
@@ -610,6 +641,144 @@ def _lang_id_sql(from_: str = "documents", order_by: bool = True) -> str:
         f"FROM (SELECT doc_id, {hits} FROM {from_})"
         + (" ORDER BY doc_id" if order_by else "")
     )
+
+
+# Salted near-dup corpus shared by the q19/q20 oracles: the original docs
+# plus truncated copies of the first 20 (doc_id + 1000000). trunc() matters:
+# Spark's CAST(double AS int) truncates while DuckDB's rounds half-even.
+_SALTED_DOCS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           substring(text, 1, CAST(trunc(length(text) * 0.97) AS INT)) AS text
+    FROM documents WHERE doc_id < 20
+"""
+
+# md5-family token hash shared by the q19/q20 oracles: first 15 hex chars of
+# md5 -> 60-bit BIGINT, the twin of Spark's conv(substring(md5(t),1,15),16,10)
+_MD5_HASH60 = "CAST('0x' || substring(md5({v}), 1, 15) AS BIGINT)"
+
+
+def _simhash_pairs_sql(width: int = 60, max_hamming: int = 3) -> str:
+    """q19 oracle: full replay of the md5-family SimHash near-dup operator.
+
+    Signature: per whitespace token, 60-bit md5 hash; bit i of the signature
+    is the sign of the sum over tokens of ±1 by the token hash's bit i —
+    identical arithmetic to dedup.with_simhash(hash_family='md5'). The pair
+    stage is brute-force hamming <= 3, which EQUALS the Spark side's 4-chunk
+    banding output by pigeonhole (hamming<=3 => one of 4 chunks identical),
+    so the oracle checks banding recall exactness, not just the signature.
+    """
+    token_hashes = (
+        "list_transform(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "t -> t != ''), t -> " + _MD5_HASH60.format(v="t") + ")"
+    )
+    bit_terms = []
+    for i in range(width):
+        bit_terms.append(
+            f"(CASE WHEN coalesce(list_sum(list_transform(_hs, h -> "
+            f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+            f"THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        )
+    sig = " + ".join(bit_terms)  # disjoint bits: + == |
+    return f"""
+        WITH docs AS ({_SALTED_DOCS_SQL}),
+        sigs AS (
+            SELECT doc_id, {sig} AS sh
+            FROM (SELECT doc_id, {token_hashes} AS _hs FROM docs)
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        ORDER BY a, b"""
+
+
+def _minhash_pairs_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
+                       threshold: float = 0.8) -> str:
+    """q20 oracle: full replay of the md5-family MinHash-LSH near-dup
+    operator — distinct char-5-gram shingles, the k=64 universal-hash
+    signature over the Mersenne prime (identical coefficients via
+    canonicalize._mh_coeffs), band blocking as r-slice equality (the Spark
+    side groups on xxhash64(slice) — equal slices, equal hash), and the
+    exact-Jaccard verify. doc_ids are VARCHAR on both sides, so a < b is
+    the same lexicographic order."""
+    from generative_ner_spark.operators.canonicalize import _MH_P, _mh_coeffs
+
+    coeffs = _mh_coeffs(k)
+    r = k // bands
+    shingles = (
+        f"CASE WHEN length(text) < {shingle_n} THEN [text] "
+        f"ELSE list_distinct([substring(text, i, {shingle_n}) "
+        f"FOR i IN generate_series(1, length(text) - {shingle_n - 1})]) END"
+    )
+    shash = _MD5_HASH60.format(v="s") + f" % {_MH_P}"
+    mh = "[" + ", ".join(
+        f"list_min(list_transform(_hs, h -> (h * {a} + {b}) % {_MH_P}))"
+        for a, b in coeffs
+    ) + "]"
+    band_match = " OR ".join(
+        f"a.mh[{j * r + 1}:{j * r + r}] = b.mh[{j * r + 1}:{j * r + r}]"
+        for j in range(bands)
+    )
+    jac = ("len(list_intersect(a.sh, b.sh)) / "
+           "len(list_distinct(a.sh || b.sh))")
+    return f"""
+        WITH docs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM ({_SALTED_DOCS_SQL})
+        ),
+        m AS (
+            SELECT doc_id, sh, {mh} AS mh
+            FROM (SELECT doc_id, sh, list_transform(sh, s -> {shash}) AS _hs
+                  FROM (SELECT doc_id, {shingles} AS sh FROM docs))
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b, round({jac}, 4) AS jaccard
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE ({band_match}) AND {jac} >= {threshold}
+        ORDER BY a, b"""
+
+
+def _lsh_ann_sql(dim: int = 64, tables: int = 8, planes: int = 6,
+                 k: int = 10) -> str:
+    """q18 oracle: FULL replay of the hyperplane-LSH ANN probe in SQL.
+
+    The ±1 hyperplanes are deterministic md5-derived driver-side constants
+    (similarity._hyperplane) — embedded here as literal arrays, so DuckDB
+    recomputes per-table sign-bit buckets for the corpus AND the query, the
+    OR-of-collisions candidate filter, and the exact cosine re-rank. Sign
+    parity between numpy's matmul and DuckDB's sequential dot holds with
+    huge margin (min |dot| ~1e-5 on the testdata vs ~1e-13 float noise)."""
+    from generative_ner_spark.operators.similarity import _hyperplane
+
+    def dot(vec: str, t: int, p: int) -> str:
+        lit = "[" + ",".join(f"{x:.1f}" for x in _hyperplane(dim, t, p)) + "]"
+        return (f"list_dot_product(list_transform({vec}, "
+                f"x -> CAST(x AS DOUBLE)), {lit})")
+
+    def bucket(vec: str, t: int) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {dot(vec, t, p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        ) + ")"
+
+    qb = ", ".join(f"{bucket('qv', t)} AS qb{t}" for t in range(tables))
+    cb = ", ".join(f"{bucket('embedding', t)} AS b{t}" for t in range(tables))
+    collide = " OR ".join(f"cb.b{t} = qb.qb{t}" for t in range(tables))
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT {qb} FROM q),
+        cb AS (SELECT vec_id, embedding, {cb}
+               FROM embeddings WHERE vec_id != 0)
+        SELECT cb.vec_id,
+               round(list_dot_product(cb.embedding, q.qv) /
+                     (sqrt(list_sum(list_transform(cb.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+        FROM cb, qb, q
+        WHERE {collide}
+        ORDER BY cosine DESC, cb.vec_id ASC LIMIT {k}"""
 
 
 def _mention_counts_sql() -> str:
@@ -886,6 +1055,25 @@ def oracle_sql() -> dict[str, str]:
                    'image' AS kind,
                    CAST(128 AS BIGINT) AS size_bytes
             FROM documents WHERE doc_id % 3 = 0 ORDER BY media_ref""",
-        # rows-only (non-SQL semantics): q18 (md5-derived hyperplane LSH),
-        # q19/q20 (xxhash64 simhash/minhash)
+        "q18_ann_lsh_topk": _lsh_ann_sql(dim=64, tables=8, planes=6, k=10),
+        "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
+        "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,
+                                                    shingle_n=5, threshold=0.8),
+        "q29_ivf_topk": """
+            -- the planted copies are the ONLY candidates at cosine 1.0
+            -- (max random cosine ~0.33 << 1.0) and the probe finds them
+            -- STRUCTURALLY: a positively-scaled copy of the query assigns
+            -- to the query's own coarse cell = the probe's rank-1 cell
+            WITH q AS (SELECT list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS qv,
+                              list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * 1.001) AS cv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT CAST(1000000 + i AS BIGINT) AS vec_id,
+                   round(list_dot_product(cv, qv) /
+                         (sqrt(list_sum(list_transform(cv, x -> x * x))) *
+                          sqrt(list_sum(list_transform(qv, x -> x * x)))), 6)
+                       AS cosine
+            FROM q, (SELECT unnest(generate_series(0, 9)) AS i)
+            ORDER BY vec_id""",
     }

@@ -94,21 +94,36 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
     )
 
 
+def _shingle_hash(col: str, hash_family: str):
+    """shingle -> value in [0, p): xxhash64 (fast path) or md5-prefix
+    (cross-engine path — DuckDB computes the identical value from the same
+    15 hex chars, see dedup.simhash_width for the width rationale)."""
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MH_P))
+    if hash_family == "md5":
+        return F.pmod(
+            F.expr(f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as long)"),
+            F.lit(_MH_P),
+        )
+    raise ValueError(f"unknown hash_family: {hash_family}")
+
+
 def minhash_df(sh_df: DataFrame, id_col: str = "id",
-               shingle_col: str = "shingles", k: int = 64) -> DataFrame:
+               shingle_col: str = "shingles", k: int = 64,
+               hash_family: str = "xxhash64") -> DataFrame:
     """(id, shingles) -> (id, minhash ARRAY<LONG>) via explode + groupBy.
 
-    One xxhash64 per shingle, k arithmetic min-aggregates, columnar codegen.
-    Map-side partial aggregation collapses each id to 64 values BEFORE the
-    shuffle (ids live in one input partition), so the exchange carries
-    n_ids x 64 longs regardless of shingle counts — both the fastest local
-    form (2.7x over the array-aggregate expression at sf0.1) and the
+    One string hash per shingle, k arithmetic min-aggregates, columnar
+    codegen. Map-side partial aggregation collapses each id to 64 values
+    BEFORE the shuffle (ids live in one input partition), so the exchange
+    carries n_ids x 64 longs regardless of shingle counts — both the fastest
+    local form (2.7x over the array-aggregate expression at sf0.1) and the
     scale-correct one.
     """
     coeffs = _mh_coeffs(k)
     exploded = sh_df.select(
         F.col(id_col).alias("id"), F.explode(shingle_col).alias("_s")
-    ).select("id", F.pmod(F.xxhash64("_s"), F.lit(_MH_P)).alias("_h"))
+    ).select("id", _shingle_hash("_s", hash_family).alias("_h"))
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MH_P))).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -130,6 +145,7 @@ def lsh_candidate_pairs(
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
     metrics: dict | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, name) -> verified near-duplicate pairs (a < b, jaccard >= t).
 
@@ -155,7 +171,7 @@ def lsh_candidate_pairs(
     # shingle sets reused on three plan branches (banding + both verify
     # sides) — materialize once
     sh = sh.persist()
-    mh = minhash_df(sh, "id", "shingles", k=k)
+    mh = minhash_df(sh, "id", "shingles", k=k, hash_family=hash_family)
     # SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
     # arrays through the self-join shuffles ~|shingles| strings per banded
     # row — the dominant cost at corpus scale; join them back per-id after

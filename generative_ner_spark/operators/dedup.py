@@ -60,6 +60,8 @@ def near_duplicate_pairs_minhash(
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
+    max_bucket: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs (a < b, exact jaccard >= threshold).
 
@@ -72,25 +74,48 @@ def near_duplicate_pairs_minhash(
     return lsh_candidate_pairs(
         df.select(F.col(id_col).alias("entity_id"), F.col(text_col).alias("name")),
         k=k, bands=bands, n=shingle_n, jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket, hash_family=hash_family,
     )
+
+
+def simhash_width(hash_family: str) -> int:
+    """Signature width per hash family: 64 bits for the xxhash64 fast path,
+    60 for the cross-engine md5 path (15 hex chars -> long, so both Spark's
+    conv() and DuckDB's hex cast stay inside a signed 64-bit integer)."""
+    if hash_family == "xxhash64":
+        return 64
+    if hash_family == "md5":
+        return 60
+    raise ValueError(f"unknown hash_family: {hash_family}")
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
-                 out: str = "simhash") -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully JVM-side.
+                 out: str = "simhash",
+                 hash_family: str = "xxhash64") -> DataFrame:
+    """SimHash over whitespace tokens, fully JVM-side.
 
-    For each bit i: sum over tokens of (+1 if bit i of xxhash64(token) else
+    For each bit i: sum over tokens of (+1 if bit i of hash(token) else
     -1); signature bit = sign. Token hashes are computed ONCE into an array;
-    the 64 bit-sums are arithmetic aggregates over that array (hashing per
+    the per-bit sums are arithmetic aggregates over that array (hashing per
     bit — 64 string-hash passes — dominated the sf0.1 benchmark).
     No explode, no shuffle.
+
+    ``hash_family``: 'xxhash64' (fast path, 64-bit signature) or 'md5'
+    (cross-engine path, 60-bit signature from the first 15 hex chars — a
+    DuckDB oracle computes the identical value, same split as
+    quality.minhash_signature_col's md5 variant).
     """
+    width = simhash_width(hash_family)
+    if hash_family == "xxhash64":
+        token_hash = "t -> xxhash64(t)"
+    else:
+        token_hash = "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as long)"
     hashes = (
         f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''), "
-        f"t -> xxhash64(t))"
+        f"{token_hash})"
     )
     bit_terms = []
-    for i in range(64):
+    for i in range(width):
         bit_terms.append(
             f"CAST(aggregate(_sh_hs, 0L, (acc, h) -> acc + "
             f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 AS LONG) << {i}"
@@ -108,18 +133,25 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding (4 x 16-bit chunks): docs within
+    """Near-dup pairs by SimHash banding (4 equal-width chunks): docs within
     Hamming distance <= max_hamming share at least one identical chunk when
-    max_hamming <= 3 (pigeonhole), so candidate recall is exact."""
-    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    max_hamming <= 3 (pigeonhole), so candidate recall is exact — the
+    banding output EQUALS the brute-force hamming<=3 pair set, which is
+    what the md5-family DuckDB oracle replays."""
+    width = simhash_width(hash_family)
+    chunk_bits = width // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col,
+                      hash_family=hash_family)
     chunks = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), 16 * j)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), chunk_bits * j)
+                .bitwiseAND(F.lit(chunk_mask))
                 .alias(f"c{j}")
                 for j in range(4)
             ])

@@ -678,6 +678,57 @@ class TestDedupSimilarity:
         assert got.get((1, 2)) == 0
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_md5_families_match_xxhash64_pair_sets(self, spark):
+        """The md5 hash families (cross-engine, DuckDB-replayable — they
+        back the q19/q20 oracles) must find the same planted near-dup pairs
+        as the xxhash64 fast families: the hash family changes the banding
+        randomness, never which high-similarity pairs survive the exact
+        verify (minhash) / low-hamming filter (simhash identical docs)."""
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [(i, base[: len(base) - i]) for i in range(3)]
+        rows += [(100 + i, f"{'completely different text block %d ' % i * 12}")
+                 for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        for fam in ("xxhash64", "md5"):
+            got = {(r.a, r.b) for r in dedup.near_duplicate_pairs_minhash(
+                df, jaccard_threshold=0.8, hash_family=fam).collect()}
+            assert {("0", "1"), ("0", "2"), ("1", "2")} <= got, fam
+            assert all(int(a) < 100 and int(b) < 100 for a, b in got), fam
+        sh_df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "totally unrelated words here")],
+            "doc_id long, text string",
+        )
+        for fam in ("xxhash64", "md5"):
+            got = {(r.a, r.b): r.hamming for r in dedup.simhash_near_dup_pairs(
+                sh_df, max_hamming=3, hash_family=fam).collect()}
+            assert got.get((1, 2)) == 0, fam
+            assert (1, 3) not in got and (2, 3) not in got, fam
+
+    def test_md5_simhash_signature_matches_pure_python(self, spark):
+        """Bit-exact twin check for the md5 60-bit simhash: the Spark SQL
+        expression == a pure-python recomputation (same arithmetic the
+        DuckDB oracle runs)."""
+        import hashlib
+
+        texts = ["alpha beta gamma", "  leading and   double  spaces ",
+                 "one", "a b c d e f g h"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id long, text string")
+        got = {r.doc_id: r.simhash for r in dedup.with_simhash(
+            df, hash_family="md5").select("doc_id", "simhash").collect()}
+        for i, t in enumerate(texts):
+            tokens = [tok for tok in __import__("re").split(r"\s+", t) if tok]
+            hs = [int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                  for tok in tokens]
+            sig = 0
+            for bit in range(60):
+                s = sum(1 if (h >> bit) & 1 else -1 for h in hs)
+                if s > 0:
+                    sig |= 1 << bit
+            assert got[i] == sig, (i, t)
+
     def test_ann_finds_planted_neighbors(self, spark):
         """Hyperplane LSH needs actual angular structure: plant a tight
         cluster around the query among random distractors. (The testdata
