@@ -47,7 +47,12 @@ def build_batch_tasks(
     oracle. Raise ``bucket_chars`` for more numbering parallelism at scale.
     """
     b = F.substring(F.md5(F.col("example_id").cast("binary")), 1, bucket_chars)
-    bucketed = examples.withColumn("_bucket", b)
+    # localCheckpoint: the counts pass (offsets) and the numbering pass must
+    # see the IDENTICAL row set — if the input were nondeterministic or its
+    # source changed between the two jobs, offsets would disagree with
+    # per-bucket row counts and custom_ids could collide. Lazy: the counts
+    # action below materializes it; no extra job.
+    bucketed = examples.withColumn("_bucket", b).localCheckpoint(eager=False)
     counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_n")).collect()
     offs, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_bucket"]):

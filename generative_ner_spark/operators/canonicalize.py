@@ -340,11 +340,23 @@ def connected_components(
         stars = prev  # best effort at max_iter (same contract as before)
     if stats is not None:
         stats.update(rounds=rounds, converged=converged, regime="distributed")
-    return (
+    out = (
         stars.select(F.col("l").alias("id"), F.col("s").alias("component"))
         .union(stars.select(F.col("s").alias("id"), F.col("s").alias("component")))
         .distinct()
     )
+    # regime parity: the u != v filter above drops nodes that appear ONLY
+    # in self-loop edges (a, a); the driver regime emits them as their own
+    # singleton component — do the same here (LSH pairs are strictly a < b,
+    # so this branch is empty on the canonicalization path)
+    self_only = (
+        edges.where(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("id"))
+        .distinct()
+        .join(out.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return out.unionByName(self_only)
 
 
 def canonical_map(

@@ -5,8 +5,11 @@
   zip_with/aggregate expression (JVM, codegen), top-k via orderBy+limit
   (Spark plans TakeOrderedAndProject — a per-partition heap + driver merge,
   NOT a full sort shuffle; this is the right plan at any scale).
-* knn_join_topk — exact k-NN for MANY queries: block-nested-loop via
-  crossJoin of a small broadcast query set, window row_number per query.
+* knn_join_topk — exact k-NN for MANY queries: one numpy-matmul Arrow pass
+  scores each corpus partition against the (broadcast-sized) query set and
+  pre-reduces to k candidates per query per partition; the global window
+  then ranks <= k * queries * partitions rows, never the full cross
+  product.
 * lsh_bucketed_topk — the scale path: random-hyperplane LSH (SimHash for
   vectors) buckets both sides; candidates = same-bucket pairs in any of
   ``tables`` independent hash tables; exact cosine re-rank on candidates
@@ -64,6 +67,67 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _knn_partition_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Per-partition top-k candidates for every query: ONE Arrow pass that
+    scores a corpus partition against ALL queries with a single numpy
+    matmul per batch and keeps a bounded (k per query) running top-k across
+    the partition's batches. Output is <= k * n_queries rows PER PARTITION
+    — this is the pre-reduction that makes the downstream global window
+    scale-safe (it sees <= k * n_queries * n_partitions rows instead of the
+    full query x corpus cross product).
+
+    Candidate selection uses the same ordering as the final ranking
+    (rounded cosine desc, id asc), so the pre-reduction can never drop a
+    row the final window would have kept."""
+    qrows = queries.select(query_id_col, query_vec_col).collect()  # broadcast-sized by contract
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)  # (nq, dim)
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+    nq = len(qids)
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine double"
+
+    def fn(batches):
+        # running per-query top-k across this partition's batches
+        run_ids = [None] * nq
+        run_sc = [None] * nq
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            ids = pdf[id_col].to_numpy()
+            Vn = np.sqrt((V * V).sum(axis=1))
+            S = np.round((V @ Q.T) / (Vn[:, None] * Qn[None, :]), 6)  # (n, nq)
+            for j in range(nq):
+                sc = S[:, j]
+                cand_ids, cand_sc = ids, sc
+                if run_ids[j] is not None:
+                    cand_ids = np.concatenate([run_ids[j], ids])
+                    cand_sc = np.concatenate([run_sc[j], sc])
+                order = np.lexsort((cand_ids, -cand_sc))[:k]
+                run_ids[j], run_sc[j] = cand_ids[order], cand_sc[order]
+        if run_ids[0] is None:
+            return
+        out_q, out_i, out_s = [], [], []
+        for j in range(nq):
+            out_q.extend([qids[j]] * len(run_ids[j]))
+            out_i.extend(run_ids[j])
+            out_s.extend(run_sc[j])
+        yield pd.DataFrame({query_id_col: out_q, id_col: out_i, "cosine": out_s})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
 def knn_join_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -75,20 +139,23 @@ def knn_join_topk(
 ) -> DataFrame:
     """Exact k-NN join: every query row gets its top-k corpus neighbors.
 
-    Queries must be broadcast-sized; the corpus side streams. The window
-    shuffles only (query_id, candidate) score rows — at scale cap corpus
-    candidates per partition first with a per-partition top-k if needed.
+    Queries must be broadcast-sized (they ride into the Arrow pass as a
+    numpy closure); the corpus side streams. Two stages:
+      1. per-partition bounded pre-reduction (_knn_partition_candidates):
+         numpy-matmul scoring + a k-per-query running heap, so each corpus
+         partition emits <= k * n_queries rows;
+      2. global exact ranking: the window shuffles only the pre-reduced
+         candidates (<= k * n_queries * n_partitions rows), never the full
+         query x corpus score matrix.
     """
-    joined = embeddings.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    cand = _knn_partition_candidates(
+        embeddings, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
@@ -287,9 +354,10 @@ def _kmeans_centroids(sample: "np.ndarray", n_cells: int, iters: int = 10,
                       seed: int = 0) -> "np.ndarray":
     """Deterministic Lloyd's k-means on a driver-side sample (numpy).
 
-    kmeans++-lite seeding: first centroid = sample[0] of the seeded
-    permutation, then farthest-point refinement — deterministic for a given
-    (sample, seed), no RNG state at probe time.
+    Seeding: the first n_cells points of a seeded random permutation of the
+    sample (plain random seeding, not kmeans++). A cluster that becomes
+    empty keeps its previous centroid. Deterministic for a given
+    (sample, seed) — no RNG state at probe time.
     """
     rng = np.random.RandomState(seed)
     idx = rng.permutation(len(sample))[:n_cells]
@@ -343,6 +411,41 @@ def build_ivf_index(
         id_col, vec_col, cell_udf(F.col(vec_col)).alias("_cell")
     )
     return IvfIndex(df, C, id_col, vec_col)
+
+
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist the IVF index: parquet partitioned by ``_cell`` (so probes
+    partition-prune to their nprobe cells' files) plus a JSON manifest
+    carrying the centroids and column names — everything a later session
+    needs to probe without retraining or rescanning the corpus."""
+    import json
+    import os
+
+    index.df.write.partitionBy("_cell").mode("overwrite").parquet(path)
+    manifest = {
+        "centroids": index.centroids.tolist(),
+        "id_col": index.id_col,
+        "vec_col": index.vec_col,
+    }
+    with open(os.path.join(path, "_ivf_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_ivf_index(spark, path: str) -> IvfIndex:
+    """Reload a written IVF index (see write_ivf_index). The partition
+    column ``_cell`` comes back from the directory layout, so probe
+    IN-filters prune at the FILE level."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_manifest.json")) as f:
+        m = json.load(f)
+    return IvfIndex(
+        spark.read.parquet(path),
+        np.asarray(m["centroids"], dtype=np.float64),
+        m["id_col"],
+        m["vec_col"],
+    )
 
 
 def probe_ivf_index(index: IvfIndex, query: list[float], k: int = 10,

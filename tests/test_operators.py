@@ -786,13 +786,29 @@ class TestDedupSimilarity:
         fresh = [r.vec_id for r in
                  similarity.probe_ivf_index(idx, q, k=5, nprobe=2).collect()]
         p = str(tmp_path / "ivf")
-        idx.df.write.partitionBy("_cell").parquet(p)
-        reloaded = similarity.IvfIndex(
-            spark.read.parquet(p), idx.centroids, "vec_id", "embedding")
+        similarity.write_ivf_index(idx, p)
+        reloaded = similarity.read_ivf_index(spark, p)
+        import numpy as np
+
+        assert np.allclose(reloaded.centroids, idx.centroids)
         probe = similarity.probe_ivf_index(reloaded, q, k=5, nprobe=2)
         assert [r.vec_id for r in probe.collect()] == fresh
         plan = probe._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "_cell" in plan
+        # FILE-level pruning evidence: the probe's scan touches only the
+        # nprobe=2 cells' directories, strictly fewer files than the table
+        d2 = ((idx.centroids - np.asarray(q)[None, :]) ** 2).sum(axis=1)
+        cells = {int(c) for c in d2.argsort()[:2]}
+        read_files = {
+            r[0] for r in reloaded.df
+            .where(F.col("_cell").isin([int(c) for c in cells]))
+            .select(F.input_file_name()).distinct().collect()
+        }
+        import glob
+
+        all_files = set(glob.glob(p + "/_cell=*/*.parquet"))
+        assert 0 < len(read_files) < len(all_files)
+        assert all(any(f"_cell={c}/" in f for c in cells) for f in read_files)
 
     def test_lsh_index_writable_and_reusable(self, spark, tmp_path):
         """The ANN index is a plain table: write it, read it back, probe the
@@ -848,6 +864,31 @@ class TestDedupSimilarity:
         # self is always the top hit (cosine 1.0)
         tops = {r.query_id: r.vec_id for r in res.where("rank = 1").collect()}
         assert tops == {0: 0, 1: 1, 2: 2}
+
+    def test_knn_join_prereduction_bound_and_exactness(self, spark):
+        """The window's input is the PRE-REDUCED candidate set: <= k *
+        n_queries * n_partitions rows (the scale guarantee — the old form
+        shuffled every query x corpus score row), and the final top-k per
+        query still equals brute force exactly."""
+        em = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").repartition(7)
+        queries = em.where("vec_id < 4").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        k, nq, nparts = 5, 4, 7
+        cand = similarity._knn_partition_candidates(
+            em, queries, k, "vec_id", "embedding", "query_id", "query_vec")
+        n_cand = cand.count()
+        n_corpus = em.count()
+        assert n_cand <= k * nq * nparts, n_cand
+        assert n_cand < nq * n_corpus  # strictly better than the cross product
+        res = {(r.query_id, r.rank): r.vec_id
+               for r in similarity.knn_join_topk(em, queries, k=k).collect()}
+        for r in queries.collect():
+            exact = [x.vec_id for x in similarity.brute_force_topk(
+                em, list(r.query_vec), k=k).collect()]
+            got = [res[(r.query_id, rank)] for rank in range(1, k + 1)]
+            assert got == exact, r.query_id
 
 
 class TestMultimodal:
@@ -1015,6 +1056,21 @@ class TestConnectedComponentsIterative:
         }
         assert got == want
         assert got["d"] == "a" and got["z"] == "x" and got["n"] == "m"
+
+    def test_self_loop_only_nodes_regime_parity(self, spark):
+        """A node appearing ONLY in self-loop edges (a, a) is a singleton
+        component in BOTH regimes (pre-fix the distributed path silently
+        dropped it while the driver path emitted it)."""
+        edges = [("a", "b"), ("s", "s"), ("b", "b")]
+        from generative_ner_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "a string, b string")
+        for thr in (10**9, 0):
+            got = {r.id: r.component
+                   for r in connected_components(df, driver_threshold=thr).collect()}
+            assert got == {"a": "a", "b": "a", "s": "s"}, thr
 
     def test_hot_bucket_cap_reports_metric(self, spark):
         """max_bucket drops oversized LSH buckets; with a metrics dict the
