@@ -45,15 +45,13 @@ def sample_demonstrations(examples: DataFrame, k: int = 2, seed: int = 0
     ]
 
 
-def splice_demonstrations_collective(
+def collective_demo_turns(
     demos: list[dict[str, Any]],
-    messages: list[dict[str, str]],
     labels2names: dict[str, str],
     language: str = "en",
 ) -> list[dict[str, str]]:
-    """Collective splice (run_gpt.py:113-119): each demo contributes its full
-    (user, assistant-gold) turn pair BEFORE the target's user turn; the
-    target's gold assistant turn is stripped (messages[:-1])."""
+    """Each demo's full (user, assistant-gold) turn pair, concatenated —
+    demos are rendered WITHOUT a system turn (run_gpt.py:104)."""
     label_names = list(labels2names.values())
     out: list[dict[str, str]] = []
     for d in demos:
@@ -66,8 +64,21 @@ def splice_demonstrations_collective(
             textops.get_collective_prompt(d["text"], entity_list, label_names,
                                           language)
         )
-    out.extend(messages[:-1])
     return out
+
+
+def splice_demonstrations_collective(
+    demos: list[dict[str, Any]],
+    messages: list[dict[str, str]],
+    labels2names: dict[str, str],
+    language: str = "en",
+) -> list[dict[str, str]]:
+    """Collective splice (run_gpt.py:113-119): each demo contributes its full
+    (user, assistant-gold) turn pair BEFORE the target's user turn; the
+    target's gold assistant turn is stripped (messages[:-1]). For targets
+    rendered with a system turn, callers compose messages[:1] + turns +
+    messages[1:-1] instead (render_prompts does)."""
+    return collective_demo_turns(demos, labels2names, language) + messages[:-1]
 
 
 def splice_demonstrations_individual(
@@ -81,16 +92,22 @@ def splice_demonstrations_individual(
     """Individual splice (run_gpt.py:166-180): each demo contributes its
     text-priming pair plus ONLY the queried label's QA pair
     (d[i*2 : i*2+2] slicing), then the target's priming pair + the queried
-    label's user turn (answer stripped)."""
-    base = 3 if has_system else 2
+    label's user turn (answer stripped). With ``has_system`` the target's
+    system turn comes FIRST (run_gpt.py:180: system_message + demo_messages
+    + model_input + label turn); demos stay systemless — the reference's
+    d[:3]/d[3:] slices there assume a demo system turn that run_gpt.py:104
+    never renders, so we keep the d[:2]/d[2:] slicing the code intends."""
     out: list[dict[str, str]] = []
+    if has_system:
+        out.extend(messages[:1])
     for d in demos:
         demo_msgs = _individual_messages(d, labels2names, language)
         priming = demo_msgs[:2]
         label_turns = demo_msgs[2:]
         out.extend(priming)
         out.extend(label_turns[label_index * 2 : label_index * 2 + 2])
-    target_priming = messages[:base]
+    base = 3 if has_system else 2
+    target_priming = messages[1:base] if has_system else messages[:base]
     label_turns = messages[base:]
     out.extend(target_priming)
     out.append(label_turns[label_index * 2])  # user turn only

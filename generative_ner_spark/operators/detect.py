@@ -104,23 +104,27 @@ def _check_prompt_format(prompt_format: str) -> None:
 
 
 def _prompt_cache_key(text: str, gold_spans: list[tuple[int, int, str]],
-                      prompt_format: str, language: str) -> str:
+                      prompt_format: str, language: str,
+                      system_prompt: str | None = None) -> str:
     """md5 of the joined SUBMITTED message contents — the response-cache key.
 
     Parity: src/gpt/utils.py:64-101 / openai_api.py:258-265 hash the joined
     contents of the messages actually sent; pred.py:97 strips the gold
     assistant turn before sending, hence messages[:-1]. Any change to the
-    prompt format, language, labels, or text changes this key — which is
-    exactly what makes checkpoint resume invalidate correctly.
+    prompt format, language, labels, system prompt, or text changes this
+    key — which is exactly what makes checkpoint resume invalidate
+    correctly.
     """
     entity_list = sorted(
         {(text[s:e], LABELS2NAMES[lb]) for s, e, lb in gold_spans}
     )
     if prompt_format == "universal":
-        messages = textops.get_universal_prompt(text, entity_list, language)
+        messages = textops.get_universal_prompt(text, entity_list, language,
+                                                system_prompt)
     else:
         messages = textops.get_collective_prompt(
-            text, entity_list, list(LABELS2NAMES.values()), language
+            text, entity_list, list(LABELS2NAMES.values()), language,
+            system_prompt,
         )
     joined = "\n".join(m["content"] for m in messages[:-1])
     return hashlib.md5(joined.encode()).hexdigest()
@@ -129,7 +133,8 @@ def _prompt_cache_key(text: str, gold_spans: list[tuple[int, int, str]],
 def with_prompt_hash(examples_with_golds: DataFrame,
                      prompt_format: str = "collective",
                      language: str = "en",
-                     out: str = "prompt_hash") -> DataFrame:
+                     out: str = "prompt_hash",
+                     system_prompt: str | None = None) -> DataFrame:
     """Append the prompt-cache-key column without generating.
 
     Used by the resume path (plans/pipeline.py) to anti-join pending prompts
@@ -145,7 +150,7 @@ def with_prompt_hash(examples_with_golds: DataFrame,
             [
                 _prompt_cache_key(
                     t, [(g["start"], g["end"], g["label"]) for g in gs],
-                    prompt_format, language,
+                    prompt_format, language, system_prompt,
                 )
                 for t, gs in zip(texts, golds)
             ]
@@ -158,7 +163,8 @@ def with_prompt_hash(examples_with_golds: DataFrame,
 
 def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig,
                   prompt_format: str = "collective",
-                  language: str = "en") -> DataFrame:
+                  language: str = "en",
+                  system_prompt: str | None = None) -> DataFrame:
     """Prompt-render + deterministic stub generation in Arrow micro-batches.
 
     ``prompt_format``: 'collective' (S9, preprocessor.py:118-136) or
@@ -181,7 +187,8 @@ def generate_stub(examples_with_golds: DataFrame, cfg: SynthConfig,
             for eid, text, gold in zip(pdf["example_id"], pdf["text"], pdf["gold_spans"]):
                 gold_spans = [(g["start"], g["end"], g["label"]) for g in gold]
                 hashes.append(
-                    _prompt_cache_key(text, gold_spans, prompt_format, language)
+                    _prompt_cache_key(text, gold_spans, prompt_format,
+                                      language, system_prompt)
                 )
                 gens.append(
                     synth.stub_generation_collective(str(eid), text, gold_spans, cfg)
@@ -384,6 +391,7 @@ def render_prompts(
     language: str = "en",
     demos: list[dict] | None = None,
     labels2names: dict[str, str] | None = None,
+    system_prompt: str | None = None,
 ) -> DataFrame:
     """Materialize the SUBMITTED chat messages as a prompt column.
 
@@ -400,9 +408,19 @@ def render_prompts(
 
     Cache-key unification: md5 of the joined prompt contents of a row
     rendered here (syncgen.with_sync_prompt_hash) equals with_prompt_hash /
-    generate_stub's prompt_hash for the same (format, language) when
-    demos=[] — pinned in tests — so the sync-generation cache and the
-    pipeline checkpoint share one key space.
+    generate_stub's prompt_hash for the same (format, language,
+    system_prompt) when demos=[] — pinned in tests — so the sync-generation
+    cache and the pipeline checkpoint share one key space.
+
+    ``system_prompt`` (DatasetArguments.system_prompt, argparser.py:24):
+    an optional leading system turn. Reference composition semantics
+    (run_gpt.py:114-119, 168-180): the TARGET is rendered with the system
+    turn, demos are rendered WITHOUT one (run_gpt.py:104), and with a
+    system prompt the system turn precedes the spliced demos
+    (messages[:1] + demos + messages[1:-1]). For the individual format the
+    reference's demo slices (d[:3]/d[3:]) assume demos carry a system turn
+    they don't have — we splice demos systemlessly (d[:2]/d[2:]), which is
+    what that code plainly intends.
     """
     if prompt_format not in ("collective", "universal", "individual"):
         raise NotImplementedError(
@@ -445,12 +463,14 @@ def render_prompts(
                         )
                         per_label.append((l2n[lb], mentions))
                     messages = textops.get_individual_prompt(
-                        text, per_label, language
+                        text, per_label, language, system_prompt
                     )
+                    base = 3 if system_prompt else 2
                     for i, lb in enumerate(labels):
-                        gold_output = messages[2 + i * 2 + 1]["content"]
+                        gold_output = messages[base + i * 2 + 1]["content"]
                         spliced = demos_mod.splice_demonstrations_individual(
-                            demo_list, messages, i, l2n, language
+                            demo_list, messages, i, l2n, language,
+                            has_system=bool(system_prompt),
                         )
                         emit(eid, did, off, text, lb, gold_output, spliced)
                 else:
@@ -459,16 +479,17 @@ def render_prompts(
                     )
                     if prompt_format == "universal":
                         messages = textops.get_universal_prompt(
-                            text, entity_list, language
+                            text, entity_list, language, system_prompt
                         )
                     else:
                         messages = textops.get_collective_prompt(
-                            text, entity_list, list(l2n.values()), language
+                            text, entity_list, list(l2n.values()), language,
+                            system_prompt,
                         )
                     gold_output = messages[-1]["content"]
-                    spliced = demos_mod.splice_demonstrations_collective(
-                        demo_list, messages, l2n, language
-                    ) if prompt_format == "collective" else (
+                    demo_turns = (
+                        demos_mod.collective_demo_turns(demo_list, l2n, language)
+                        if prompt_format == "collective" else
                         # universal shares the collective splice shape:
                         # full demo turn pairs, then target minus gold turn
                         sum((textops.get_universal_prompt(
@@ -479,7 +500,12 @@ def render_prompts(
                                  for s, e, lb in d["gold_spans"]],
                                 l2n),
                             language) for d in demo_list), [])
-                        + messages[:-1]
+                    )
+                    # run_gpt.py:119: system turn FIRST, then demos, then
+                    # the target minus its gold assistant turn
+                    spliced = (
+                        messages[:1] + demo_turns + messages[1:-1]
+                        if system_prompt else demo_turns + messages[:-1]
                     )
                     emit(eid, did, off, text, None, gold_output, spliced)
             yield pd.DataFrame(out)

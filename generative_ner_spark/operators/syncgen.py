@@ -33,7 +33,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-Responder = Callable[[list[dict[str, str]], dict], tuple[str, str]]
+# A responder returns ONE (text, finish_reason) tuple, or — for n>1
+# completions — a LIST of such tuples (the choices array). Selection follows
+# the reference exactly: choices[0] wins (run_gpt.py:132 takes
+# results['choices'][0], its own TODO notes the rest are unused).
+Responder = Callable[
+    [list[dict[str, str]], dict],
+    "tuple[str, str] | list[tuple[str, str]]",
+]
 
 _SYNC_SCHEMA = (
     "example_id string, prompt_hash string, generated_text string, "
@@ -150,7 +157,11 @@ def generate_sync(
                         {"role": m["role"], "content": m["content"]}
                         for m in prompt
                     ]
-                    text, finish = responder(messages, params)
+                    res = responder(messages, params)
+                    if isinstance(res, list):  # n>1 choices: first wins
+                        text, finish = res[0]
+                    else:
+                        text, finish = res
                     out["example_id"].append(eid)
                     out["prompt_hash"].append(ph)
                     if finish == "stop":

@@ -52,29 +52,68 @@ def build_examples(spark, args):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="run_gpt.py, Spark-first")
-    ap.add_argument("--mode", required=True,
+    ap.add_argument("--config-file", "--config_file", "-c", default=None,
+                    help="reference-shaped config_gpt.yaml (argparser.py:"
+                         "74-102): gpt_model + dataset sections supply "
+                         "defaults; explicit CLI flags override")
+    ap.add_argument("--mode", "-m", default=None,
                     choices=["generate", "debug", "estimate", "batch"])
     ap.add_argument("--input", required=True,
                     help="synth:<n_docs> or JSONL dir of interleaved docs")
     ap.add_argument("--golds", default=None, help="gold entities parquet")
-    ap.add_argument("--format", default="collective",
+    ap.add_argument("--format", default=None,
                     choices=["collective", "universal", "individual"])
-    ap.add_argument("--language", default="en", choices=["en", "ja"])
-    ap.add_argument("--k", type=int, default=0,
+    ap.add_argument("--language", default=None, choices=["en", "ja"])
+    ap.add_argument("--k", type=int, default=None,
                     help="few-shot demonstrations spliced into every prompt")
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--temperature", type=float, default=0.2)
-    ap.add_argument("--top-p", type=float, default=0.0)
-    ap.add_argument("--n", type=int, default=1)
-    ap.add_argument("--max-tokens", type=int, default=4096)
-    ap.add_argument("--model", default="gpt-4o-mini-2024-07-18")
-    ap.add_argument("--output", required=True,
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--temperature", type=float, default=None)
+    ap.add_argument("--top-p", type=float, default=None)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--max-tokens", type=int, default=None)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--system-prompt", default=None,
+                    help="optional leading system turn (dataset.system_prompt)")
+    ap.add_argument("--output", "--output_dir", "-o", required=True,
                     help="output dir (predictions / batch files / cache)")
     ap.add_argument("--responder", default=None,
                     help="module:function responder override (production)")
     ap.add_argument("--budget-usd", type=float, default=None,
                     help="abort like the reference's cost limit (S30)")
     args = ap.parse_args(argv)
+
+    # config supplies defaults (reference parse_args_gpt semantics: YAML is
+    # the source of model/data params, CLI carries mode/output); explicit
+    # CLI flags win. Without a config the r2 CLI defaults apply unchanged.
+    from generative_ner_spark.sources.config import (
+        DatasetArgs, GptModelArgs, load_gpt_config,
+    )
+
+    if args.config_file:
+        data_cfg, model_cfg = load_gpt_config(args.config_file)
+    else:
+        data_cfg, model_cfg = DatasetArgs(), GptModelArgs(
+            top_p=0.0, k=0, total_cost_limit=None)
+    args.mode = args.mode or model_cfg.mode
+    args.format = args.format or data_cfg.format
+    args.language = args.language or data_cfg.language
+    args.system_prompt = args.system_prompt or data_cfg.system_prompt
+    args.labels2names = data_cfg.labels2names
+    if args.k is None:
+        args.k = model_cfg.k
+    if args.seed is None:
+        args.seed = model_cfg.seed
+    if args.temperature is None:
+        args.temperature = model_cfg.temperature
+    if args.top_p is None:
+        args.top_p = model_cfg.top_p
+    if args.n is None:
+        args.n = model_cfg.n
+    if args.max_tokens is None:
+        args.max_tokens = model_cfg.max_token_length
+    args.model = args.model or model_cfg.model_name
+    if args.budget_usd is None and args.config_file:
+        args.budget_usd = model_cfg.total_cost_limit  # gpt_model.total_cost_limit
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -92,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.k > 0 else []
     )
     prompts = detect.render_prompts(
-        examples, args.format, args.language, demos=demo_list
+        examples, args.format, args.language, demos=demo_list,
+        labels2names=args.labels2names, system_prompt=args.system_prompt,
     ).persist()  # feeds two plan branches (generate + rejoin / est + tasks):
     # without this each branch re-runs the Python render pass
     if args.mode == "debug":

@@ -298,6 +298,29 @@ class TestSyncGenerate:
         ).where("finish_reason = 'stop'").collect()
         assert out and all(r.generated_text.endswith("t=0.7") for r in out)
 
+    def test_n_choices_first_choice_selected(self, spark):
+        """n>1 completions: the responder returns the choices list; the
+        FIRST choice is selected (run_gpt.py:132 parity — the reference's
+        choices[0] with its TODO for the rest), and the requested n reaches
+        the responder's params."""
+
+        def two_choice_responder(messages, params):
+            assert params["n"] == 2
+            return [(f"first:n={params['n']}", "stop"), ("second", "stop")]
+
+        out = syncgen.generate_sync(
+            self._prompts(spark, 6), two_choice_responder, n=2).collect()
+        assert len(out) == 6
+        assert all(r.generated_text == "first:n=2" and r.error is None
+                   for r in out)
+        # a list whose first choice is truncated still trips the guard
+        def bad_first(messages, params):
+            return [("", "length"), ("fine", "stop")]
+
+        out2 = syncgen.generate_sync(self._prompts(spark, 3), bad_first).collect()
+        assert all(r.generated_text is None and r.error == "finish_reason=length"
+                   for r in out2)
+
     def test_responder_called_once_per_pending_prompt(self, spark, tmp_path):
         """The cache path materializes the responder output ONCE: multiple
         downstream actions (metrics, sinks, error counts — run_gpt_spark
@@ -353,6 +376,51 @@ class TestSyncGenerate:
 
 
 class TestRenderPrompts:
+    def test_system_prompt_composition(self, spark):
+        """system_prompt parity (run_gpt.py:114-119, 180): the system turn
+        is FIRST, demos and target turns follow unchanged; the individual
+        gold_output is index-shifted correctly; the cache key changes with
+        the system prompt and stays unified between the render path and the
+        pipeline hash."""
+        from generative_ner_spark.operators import demos as demos_mod
+        from generative_ner_spark.operators import syncgen as sg
+
+        cfg = SynthConfig(n_docs=8)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        demo_list = demos_mod.sample_demonstrations(ex, k=1, seed=1)
+        sysmsg = ("A virtual assistant answers questions from a user "
+                  "based on the provided text.")
+        for fmt in ("collective", "universal"):
+            plain = {r.example_id: r.prompt for r in detect.render_prompts(
+                ex, fmt, demos=demo_list).collect()}
+            withs = {r.example_id: r.prompt for r in detect.render_prompts(
+                ex, fmt, demos=demo_list, system_prompt=sysmsg).collect()}
+            for eid in plain:
+                assert withs[eid][0].role == "system", fmt
+                assert withs[eid][0].content == sysmsg, fmt
+                assert [(m.role, m.content) for m in withs[eid][1:]] == \
+                    [(m.role, m.content) for m in plain[eid]], fmt
+        p0 = {(r.example_id, r.label): r for r in detect.render_prompts(
+            ex, "individual", demos=demo_list).collect()}
+        pi = {(r.example_id, r.label): r for r in detect.render_prompts(
+            ex, "individual", demos=demo_list, system_prompt=sysmsg).collect()}
+        for key, r in p0.items():
+            r2 = pi[key]
+            assert r2.gold_output == r.gold_output  # estimate parity
+            assert r2.prompt[0].role == "system"
+            assert [(m.role, m.content) for m in r2.prompt[1:]] == \
+                [(m.role, m.content) for m in r.prompt]
+        a = {r.example_id: r.prompt_hash for r in sg.with_sync_prompt_hash(
+            detect.render_prompts(ex, "collective", system_prompt=sysmsg))
+            .select("example_id", "prompt_hash").collect()}
+        b = {r.example_id: r.prompt_hash for r in detect.with_prompt_hash(
+            ex, "collective", system_prompt=sysmsg)
+            .select("example_id", "prompt_hash").collect()}
+        c = {r.example_id: r.prompt_hash for r in detect.with_prompt_hash(
+            ex, "collective").select("example_id", "prompt_hash").collect()}
+        assert a == b
+        assert all(b[k] != c[k] for k in b)  # system prompt invalidates cache
+
     def test_cache_key_unification_no_demos(self, spark):
         """md5 of render_prompts' submitted messages == the pipeline's
         with_prompt_hash key — the sync cache and the checkpoint share one
@@ -497,6 +565,34 @@ class TestRunGptCli:
         assert {r.custom_id for r in back.select("custom_id").collect()} == {
             f"task-{i}" for i in range(n_tasks)}
 
+    def test_reference_yaml_config_drives_cli(self, spark, tmp_path, capsys):
+        """The reference's OWN configs/config_gpt.yaml (read-only) drives the
+        Spark CLI end-to-end in estimate mode: mode defaults to 'estimate'
+        (argparser.py default), format/individual + labels2names + k=2 +
+        budget come from the YAML, CLI flags still override."""
+        from generative_ner_spark.sources.config import load_gpt_config
+
+        data, model = load_gpt_config("/root/reference/configs/config_gpt.yaml")
+        assert model.model_name == "gpt-4o-mini-2024-07-18"
+        assert (model.k, model.n, model.top_p, model.total_cost_limit) == \
+            (2, 1, 0.9, 1.0)
+        assert data.format == "individual" and data.language == "en"
+        assert data.labels2names == {"PER": "person", "ORG": "organization",
+                                     "LOC": "location", "MISC": "miscellaneous"}
+        assert data.system_prompt is None
+        rc, out = self._run(
+            ["-c", "/root/reference/configs/config_gpt.yaml",
+             "--input", "synth:10", "-o", str(tmp_path / "cfg")], capsys)
+        assert rc == 0
+        assert out[0]["mode"] == "estimate"
+        assert out[0]["prompts"] >= 40  # individual: 4-label fan-out
+        # CLI override beats config: collective => one prompt per example
+        rc2, out2 = self._run(
+            ["-c", "/root/reference/configs/config_gpt.yaml",
+             "--format", "collective", "--k", "0",
+             "--input", "synth:10", "-o", str(tmp_path / "cfg2")], capsys)
+        assert rc2 == 0 and out2[0]["prompts"] < out[0]["prompts"]
+
     def test_generate_collective_with_demos(self, spark, tmp_path, capsys):
         rc, out = self._run(
             ["--mode", "generate", "--input", "synth:30", "--k", "2",
@@ -584,6 +680,55 @@ class TestCost:
         # estimate mode never aborts (cost.py mode='estimate')
         est_only = cost.CostBudget(limit_usd=0.001, estimate_only=True)
         assert est_only.charge(5.0) == 5.0
+
+    @staticmethod
+    def _ref_cost_module():
+        """The reference's src/gpt/cost.py is stdlib-pure — load it directly
+        (read-only) for byte-parity fee checks."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_cost", "/root/reference/src/gpt/cost.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_fee_table_parity_with_reference(self):
+        """count_fee == the reference's count_fee for EVERY model the
+        reference supports, sync and batch; superseded models raise the
+        cheaper-model recommendation in both; unknown models raise in both."""
+        ref = self._ref_cost_module()
+        usage = {"usage": {"prompt_tokens": 1234, "completion_tokens": 567}}
+        supported = [m for m in cost.MODEL_COSTS if m != "gpt-4.1-mini"]
+        assert len(supported) == 5
+        for model in supported:
+            for batch in (False, True):
+                want = ref.count_fee(usage, model, use_batchapi=batch)
+                got = cost.count_fee(1234, 567, model, use_batchapi=batch)
+                assert abs(got["usd"] - want.usd) < 1e-12, (model, batch)
+                assert abs(got["jpy"] - want.jpy) < 1e-9, (model, batch)
+                assert got["prompt_tokens"] == want.prompt_tokens
+                assert got["completion_tokens"] == want.completion_tokens
+        for model in cost.SUPERSEDED_MODELS:
+            with pytest.raises(RuntimeError, match="cheaper"):
+                ref.count_fee(usage, model)
+            with pytest.raises(cost.CostError, match="cheaper"):
+                cost.count_fee(1234, 567, model)
+        with pytest.raises(RuntimeError, match="unknown"):
+            ref.count_fee(usage, "gpt-99-nonexistent")
+        with pytest.raises(cost.CostError, match="unknown"):
+            cost.count_fee(1, 1, "gpt-99-nonexistent")
+
+    def test_exact_token_count_udf_gated(self, spark):
+        """tiktoken path: exact counts when importable, clean ImportError
+        fallback otherwise (this container has no tiktoken)."""
+        try:
+            udf = cost.exact_token_count_udf()
+        except ImportError:
+            pytest.skip("tiktoken not installed — heuristic path covered above")
+        df = spark.createDataFrame([("hello world",), ("",)], "text string")
+        rows = df.select(udf("text").alias("n")).collect()
+        assert rows[0].n > 0 and rows[1].n == 0
 
 
 class TestDemos:
