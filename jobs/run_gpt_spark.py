@@ -228,8 +228,35 @@ def main(argv: list[str] | None = None) -> int:
         .write.mode("overwrite").parquet(preds_path)
     )
     n_err = keyed.where(F.col("finish_reason") != "stop").count()
-    print(json.dumps({"mode": "generate", "metrics": metrics,
-                      "predictions": preds_path, "generation_errors": n_err}))
+    # CostChecker parity (src/gpt/cost.py:197-223): the reference charges
+    # each response as it arrives and aborts at the limit; Spark's stage
+    # equivalent charges the whole generation stage at its boundary — the
+    # job fails (rc=2) once spend reaches the budget, same net behavior
+    # (spend happens, then the run stops).
+    flat = prompts.select(
+        "example_id",
+        F.coalesce("label", F.lit("")).alias("label"),
+        F.concat_ws(
+            "\n", F.transform("prompt", lambda m: m["content"])
+        ).alias("_p"),
+    )
+    gen_txt = gens.withColumn("label", F.coalesce("label", F.lit(""))).select(
+        "example_id", "label",
+        F.coalesce("generated_text", F.lit("")).alias("_g"),
+    )
+    actual = cost.total_cost(cost.with_cost_estimate(
+        flat.join(gen_txt, ["example_id", "label"]), "_p", "_g",
+        model=args.model,
+    ))
+    out = {"mode": "generate", "metrics": metrics, "predictions": preds_path,
+           "generation_errors": n_err, "actual_usd": round(actual, 6)}
+    if args.budget_usd is not None and actual >= args.budget_usd:
+        out["budget_exceeded"] = True
+        print(json.dumps(out))
+        print(f"generation cost {actual:.4f} reached budget "
+              f"{args.budget_usd:.4f}; aborting", file=sys.stderr)
+        return 2
+    print(json.dumps(out))
     return 0
 
 

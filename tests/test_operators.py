@@ -565,6 +565,23 @@ class TestRunGptCli:
         assert {r.custom_id for r in back.select("custom_id").collect()} == {
             f"task-{i}" for i in range(n_tasks)}
 
+    def test_generate_mode_budget_abort(self, spark, tmp_path, capsys):
+        """CostChecker parity: generate mode charges the ACTUAL stage spend
+        (prompt + generated tokens) and fails the job (rc=2) once it reaches
+        the budget; a comfortable budget passes and reports actual_usd."""
+        rc, out = self._run(
+            ["--mode", "generate", "--input", "synth:10",
+             "--budget-usd", "0.0000001", "--output", str(tmp_path / "gb")],
+            capsys)
+        assert rc == 2 and out[-1]["budget_exceeded"]
+        assert out[-1]["actual_usd"] > 0
+        rc2, out2 = self._run(
+            ["--mode", "generate", "--input", "synth:10",
+             "--budget-usd", "100.0", "--output", str(tmp_path / "gb2")],
+            capsys)
+        assert rc2 == 0 and out2[-1]["actual_usd"] > 0
+        assert "budget_exceeded" not in out2[-1]
+
     def test_reference_yaml_config_drives_cli(self, spark, tmp_path, capsys):
         """The reference's OWN configs/config_gpt.yaml (read-only) drives the
         Spark CLI end-to-end in estimate mode: mode defaults to 'estimate'
