@@ -529,6 +529,48 @@ def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy deduplication end-to-end (RefinedWeb/Dolma staple): MinHash-LSH
+    pairs -> connected components -> keep the min-id doc per near-dup
+    cluster. md5 hash family + lifted bucket cap => the DuckDB oracle
+    replays the WHOLE thing, components included (recursive transitive-
+    closure CTE)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (
+        d.where("doc_id < 20")
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.expr("substring(text, 1, cast(length(text) * 0.97 as int))").alias("text"),
+        )
+    )
+    salted = d.unionByName(mutated).withColumn(
+        "doc_id", F.col("doc_id").cast("string"))
+    return (
+        dedup.near_dedup_documents(
+            salted, jaccard_threshold=0.8, max_bucket=1 << 30,
+            hash_family="md5",
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
+    matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
+    then one global window. Fully SQL-expressible semantics => full DuckDB
+    oracle (window row_number over exact cosines)."""
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = em.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        similarity.knn_join_topk(em, queries, k=5)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: emitted (subj, pred, obj) triples (the P/R>=0.95 gate vs
     the reference loop lives in tests/test_pipeline.py; full DuckDB oracle
@@ -601,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_sync_generate": q28_sync_generate,
         "q29_ivf_topk": q29_ivf_topk,
         "q30_curated_documents": q30_curated_documents,
+        "q31_near_dedup_documents": q31_near_dedup_documents,
+        "q32_knn_join_topk": q32_knn_join_topk,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -694,15 +738,14 @@ def _simhash_pairs_sql(width: int = 60, max_hamming: int = 3) -> str:
         ORDER BY a, b"""
 
 
-def _minhash_pairs_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
-                       threshold: float = 0.8) -> str:
-    """q20 oracle: full replay of the md5-family MinHash-LSH near-dup
-    operator — distinct char-5-gram shingles, the k=64 universal-hash
-    signature over the Mersenne prime (identical coefficients via
-    canonicalize._mh_coeffs), band blocking as r-slice equality (the Spark
-    side groups on xxhash64(slice) — equal slices, equal hash), and the
-    exact-Jaccard verify. doc_ids are VARCHAR on both sides, so a < b is
-    the same lexicographic order."""
+def _minhash_sql_parts(k: int = 64, bands: int = 8, shingle_n: int = 5,
+                       threshold: float = 0.8) -> dict:
+    """Shared CTE fragments replaying the md5-family MinHash-LSH machinery
+    (used by the q20 and q31 oracles): distinct char-5-gram shingles, the
+    k=64 universal-hash signature over the Mersenne prime (identical
+    coefficients via canonicalize._mh_coeffs), band blocking as r-slice
+    equality (the Spark side groups on xxhash64(slice) — equal slices,
+    equal hash), and the exact-Jaccard verify."""
     from generative_ner_spark.operators.canonicalize import _MH_P, _mh_coeffs
 
     coeffs = _mh_coeffs(k)
@@ -723,19 +766,59 @@ def _minhash_pairs_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
     )
     jac = ("len(list_intersect(a.sh, b.sh)) / "
            "len(list_distinct(a.sh || b.sh))")
-    return f"""
-        WITH docs AS (
+    ctes = f"""docs AS (
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM ({_SALTED_DOCS_SQL})
         ),
         m AS (
             SELECT doc_id, sh, {mh} AS mh
             FROM (SELECT doc_id, sh, list_transform(sh, s -> {shash}) AS _hs
                   FROM (SELECT doc_id, {shingles} AS sh FROM docs))
-        )
-        SELECT a.doc_id AS a, b.doc_id AS b, round({jac}, 4) AS jaccard
-        FROM m a JOIN m b ON a.doc_id < b.doc_id
-        WHERE ({band_match}) AND {jac} >= {threshold}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, {jac} AS jaccard
+            FROM m a JOIN m b ON a.doc_id < b.doc_id
+            WHERE ({band_match}) AND {jac} >= {threshold}
+        )"""
+    return {"ctes": ctes}
+
+
+def _minhash_pairs_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
+                       threshold: float = 0.8) -> str:
+    """q20 oracle: full replay of the md5-family MinHash-LSH near-dup
+    operator (see _minhash_sql_parts). doc_ids are VARCHAR on both sides,
+    so a < b is the same lexicographic order."""
+    parts = _minhash_sql_parts(k, bands, shingle_n, threshold)
+    return f"""
+        WITH {parts['ctes']}
+        SELECT a, b, round(jaccard, 4) AS jaccard FROM pairs
         ORDER BY a, b"""
+
+
+def _near_dedup_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
+                    threshold: float = 0.8) -> str:
+    """q31 oracle: fuzzy dedup replay end-to-end — the q20 pair machinery,
+    then connected components via a recursive transitive-closure CTE
+    (symmetric edges + reflexive seed => min reachable id == the component
+    minimum, exactly connected_components' contract), then drop every
+    non-minimum member and return the survivors."""
+    parts = _minhash_sql_parts(k, bands, shingle_n, threshold)
+    return f"""
+        WITH RECURSIVE {parts['ctes']},
+        edges AS (
+            SELECT a AS id1, b AS id2 FROM pairs
+            UNION
+            SELECT b AS id1, a AS id2 FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT id1, id1 FROM edges
+            UNION
+            SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.dst = e.id1
+        ),
+        comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+        drop_ids AS (SELECT id FROM comp WHERE id != component)
+        SELECT doc_id FROM docs
+        WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+        ORDER BY doc_id"""
 
 
 def _lsh_ann_sql(dim: int = 64, tables: int = 8, planes: int = 6,
@@ -1055,6 +1138,27 @@ def oracle_sql() -> dict[str, str]:
                    'image' AS kind,
                    CAST(128 AS BIGINT) AS size_bytes
             FROM documents WHERE doc_id % 3 = 0 ORDER BY media_ref""",
+        "q31_near_dedup_documents": _near_dedup_sql(k=64, bands=8,
+                                                    shingle_n=5, threshold=0.8),
+        "q32_knn_join_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_dot_product(e.embedding, q.qv) /
+                             (sqrt(list_sum(list_transform(e.embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                              sqrt(list_sum(list_transform(q.qv,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                           AS cosine
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank""",
         "q18_ann_lsh_topk": _lsh_ann_sql(dim=64, tables=8, planes=6, k=10),
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,

@@ -40,6 +40,8 @@ HEADLINE = [
     "q25_embedding_near_dups",
     "q28_sync_generate",
     "q29_ivf_topk",
+    "q31_near_dedup_documents",
+    "q32_knn_join_topk",
     "kg_mention_counts",
     "kg_triples",
 ]

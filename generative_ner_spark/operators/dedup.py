@@ -89,6 +89,46 @@ def simhash_width(hash_family: str) -> int:
     raise ValueError(f"unknown hash_family: {hash_family}")
 
 
+def near_dedup_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Fuzzy deduplication: df minus near-duplicates, keeping the min-id
+    document of every near-dup CLUSTER (the RefinedWeb/Dolma-style fuzzy
+    dedup staple: MinHash-LSH pairs -> connected components -> one survivor
+    per component).
+
+    Pairwise keep-min is NOT enough: with docs A<B<C where A~B and B~C but
+    A!~C, dropping per-pair losers keeps {A, C} or {A} depending on pair
+    order — components make it deterministic ({A} survives, the whole
+    chain collapses to its min). Scale shape: the pair stage is the
+    LSH-blocked near_duplicate_pairs_minhash (never O(n^2)); CC is the
+    alternating large/small-star loop (driver union-find under 2M edges);
+    the final filter is one left_anti join on doc ids.
+    """
+    from generative_ner_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    pairs = near_duplicate_pairs_minhash(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+        hash_family=hash_family,
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def with_simhash(df: DataFrame, text_col: str = "text",
                  out: str = "simhash",
                  hash_family: str = "xxhash64") -> DataFrame:

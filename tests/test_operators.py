@@ -840,6 +840,20 @@ class TestDedupSimilarity:
         assert got.get((1, 2)) == 0
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_near_dedup_keeps_one_survivor_per_cluster(self, spark):
+        """Fuzzy dedup is COMPONENT-wise, not pair-wise: a near-dup chain
+        A~B~C collapses to its min id even when A!~C directly; unrelated
+        docs survive untouched."""
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [(str(i), base[: len(base) - i * 3]) for i in range(4)]  # chain
+        rows += [(str(100 + i), f"{'completely different text block %d ' % i * 12}")
+                 for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        for fam in ("xxhash64", "md5"):
+            kept = {r.doc_id for r in dedup.near_dedup_documents(
+                df, jaccard_threshold=0.8, hash_family=fam).collect()}
+            assert kept == {"0", "100", "101", "102"}, (fam, kept)
+
     def test_md5_families_match_xxhash64_pair_sets(self, spark):
         """The md5 hash families (cross-engine, DuckDB-replayable — they
         back the q19/q20 oracles) must find the same planted near-dup pairs
