@@ -8,6 +8,10 @@ libraries. What IS always available and tested:
   template-family detection (src/data/preprocessor.py:76-106): mistral
   ([INST]), llama (start_header_id), gemma (start_of_turn), chatml
   (im_start); unknown -> NotImplementedError, same as the reference.
+* ``render_chat_template`` / ``with_rendered_prompt`` — REAL chat-template
+  rendering via sandboxed jinja2 (the documented public contract of
+  tokenizer.apply_chat_template(tokenize=False)); only the forward pass
+  itself remains torch-gated.
 
 The generation operator shows the production shape: model + tokenizer as
 WORKER-GLOBAL singletons loaded once per executor python process (the
@@ -50,6 +54,91 @@ def detect_templates(chat_template: str, need_instruction: bool = False
     if not need_instruction:
         out["instruction"] = None
     return out
+
+
+def render_chat_template(
+    messages: list[dict[str, str]],
+    chat_template: str,
+    add_generation_prompt: bool = True,
+    bos_token: str = "",
+    eos_token: str = "",
+) -> str:
+    """Render chat messages through a model's jinja chat template WITHOUT
+    transformers/torch.
+
+    This is the documented public contract of
+    ``tokenizer.apply_chat_template(..., tokenize=False)``: the template
+    string is compiled in a jinja2 ImmutableSandboxedEnvironment with
+    ``trim_blocks``/``lstrip_blocks``, a ``raise_exception`` hook (real
+    templates use it to reject e.g. unsupported system turns), and is
+    rendered with ``messages`` / ``add_generation_prompt`` / ``bos_token``
+    / ``eos_token`` variables. De-gates the RENDER half of S12 (reference
+    src/data/preprocessor.py:76-106 + pred.py:13-29): the only part that
+    still needs torch is the forward pass itself (generate_with_model).
+    """
+    from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+    def raise_exception(message: str):
+        raise ValueError(message)
+
+    env = ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
+    env.globals["raise_exception"] = raise_exception
+    return env.from_string(chat_template).render(
+        messages=messages,
+        add_generation_prompt=add_generation_prompt,
+        bos_token=bos_token,
+        eos_token=eos_token,
+    )
+
+
+def with_rendered_prompt(
+    prompts: DataFrame,
+    chat_template: str,
+    prompt_col: str = "prompt",
+    out_col: str = "prompt_text",
+    add_generation_prompt: bool = True,
+    bos_token: str = "",
+    eos_token: str = "",
+) -> DataFrame:
+    """Column form of render_chat_template: (prompt array<struct<role,
+    content>>) -> rendered prompt_text, in Arrow batches with the template
+    compiled ONCE per python worker (never per row). Feeds
+    generate_with_model's ``prompt_col`` — together they are the reference's
+    apply_chat_template -> generate chain as a Spark stage."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in prompts.schema.fields
+    )
+    schema = f"{fields}, {out_col} string"
+    _tmpl_cache: dict = {}
+
+    def fn(batches):
+        from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+        if "t" not in _tmpl_cache:
+            def raise_exception(message: str):
+                raise ValueError(message)
+
+            env = ImmutableSandboxedEnvironment(
+                trim_blocks=True, lstrip_blocks=True)
+            env.globals["raise_exception"] = raise_exception
+            _tmpl_cache["t"] = env.from_string(chat_template)
+        tmpl = _tmpl_cache["t"]
+        for pdf in batches:
+            rendered = [
+                tmpl.render(
+                    messages=[{"role": m["role"], "content": m["content"]}
+                              for m in msgs],
+                    add_generation_prompt=add_generation_prompt,
+                    bos_token=bos_token,
+                    eos_token=eos_token,
+                )
+                for msgs in pdf[prompt_col]
+            ]
+            out = pdf.copy()
+            out[out_col] = rendered
+            yield out
+
+    return prompts.mapInPandas(fn, schema)
 
 
 def _load_singleton(model_name: str):

@@ -800,6 +800,82 @@ class TestLlmTemplates:
         with pytest.raises(NotImplementedError):
             llm.detect_templates("no known markers")
 
+    # Public chat-template strings for the four families the reference
+    # detects (preprocessor.py:76-106) — ChatML/Llama-3/Gemma/Mistral
+    # formats are publicly documented; these exercise REAL jinja rendering.
+    CHATML = (
+        "{% for message in messages %}{{'<|im_start|>' + message['role'] + '\n'"
+        " + message['content'] + '<|im_end|>' + '\n'}}{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
+    )
+    LLAMA3 = (
+        "{{ bos_token }}{% for message in messages %}"
+        "{{ '<|start_header_id|>' + message['role'] + '<|end_header_id|>\n\n'"
+        " + message['content'] + '<|eot_id|>' }}{% endfor %}"
+        "{% if add_generation_prompt %}"
+        "{{ '<|start_header_id|>assistant<|end_header_id|>\n\n' }}{% endif %}"
+    )
+    GEMMA = (
+        "{{ bos_token }}{% for message in messages %}"
+        "{% if message['role'] == 'assistant' %}{% set role = 'model' %}"
+        "{% else %}{% set role = message['role'] %}{% endif %}"
+        "{{ '<start_of_turn>' + role + '\n' + message['content']"
+        " + '<end_of_turn>\n' }}{% endfor %}"
+        "{% if add_generation_prompt %}{{'<start_of_turn>model\n'}}{% endif %}"
+    )
+    MISTRAL = (
+        "{{ bos_token }}{% for message in messages %}"
+        "{% if message['role'] == 'system' %}"
+        "{{ raise_exception('System role not supported') }}{% endif %}"
+        "{% if message['role'] == 'user' %}{{ '[INST] ' + message['content']"
+        " + ' [/INST]' }}{% else %}{{ ' ' + message['content'] + eos_token }}"
+        "{% endif %}{% endfor %}"
+    )
+
+    def test_render_chat_template_families(self):
+        """Real jinja rendering (the public apply_chat_template contract)
+        for all four families; the generation prompt ends with exactly the
+        response marker detect_templates extracts — proving render and
+        split-on-response stay consistent (pred.py:13-29 chain)."""
+        msgs = [{"role": "user", "content": "Extract entities."},
+                {"role": "assistant", "content": "[]"}]
+        for tpl, bos in ((self.CHATML, ""), (self.LLAMA3, "<|begin_of_text|>"),
+                         (self.GEMMA, "<bos>")):
+            out = llm.render_chat_template(msgs, tpl, bos_token=bos)
+            resp = llm.detect_templates(tpl)["response"]
+            # whitespace after the marker varies per family (llama3 pads
+            # with \n\n); the split-on-response chain strips it anyway
+            assert out.rstrip().endswith(resp.rstrip()), (tpl[:30], out[-60:])
+            assert "Extract entities." in out and out.startswith(bos)
+        out = llm.render_chat_template(
+            msgs, self.MISTRAL, add_generation_prompt=False,
+            bos_token="<s>", eos_token="</s>")
+        assert out == "<s>[INST] Extract entities. [/INST] []</s>"
+
+    def test_render_chat_template_raise_exception_hook(self):
+        """Templates reject unsupported turns via raise_exception — the
+        sandboxed-env hook real model templates rely on."""
+        with pytest.raises(ValueError, match="System role not supported"):
+            llm.render_chat_template(
+                [{"role": "system", "content": "x"}], self.MISTRAL)
+
+    def test_with_rendered_prompt_column(self, spark):
+        """The Spark column form: render_prompts output -> rendered
+        prompt_text rows, template compiled once per worker; row parity
+        with the pure function."""
+        cfg = SynthConfig(n_docs=6)
+        ex = corpus.synth_examples_with_golds(spark, cfg, num_partitions=2)
+        prompts = detect.render_prompts(ex, "collective")
+        rendered = llm.with_rendered_prompt(prompts, self.CHATML)
+        rows = rendered.select("example_id", "prompt", "prompt_text").collect()
+        assert rows
+        for r in rows:
+            want = llm.render_chat_template(
+                [{"role": m.role, "content": m.content} for m in r.prompt],
+                self.CHATML)
+            assert r.prompt_text == want
+            assert r.prompt_text.endswith("<|im_start|>assistant\n")
+
 
 class TestDedupSimilarity:
     def test_exact_dedup(self, spark):
