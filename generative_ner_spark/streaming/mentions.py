@@ -75,6 +75,73 @@ def make_batch_processor(
     return process
 
 
+def windowed_mention_counts_stream(
+    docs_stream: DataFrame,
+    lexicon: dict[str, str],
+    ts_col: str = "ingest_ts",
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """STATEFUL streaming stage: tumbling-window mention counts with a
+    watermark bounding state and defining late-data semantics.
+
+    Unlike the foreachBatch path (stateless per batch), this is a real
+    Structured-Streaming stateful aggregation: ``withWatermark`` +
+    ``groupBy(window(ts), label)``. Windows older than
+    (max event time − delay) have their state EVICTED at the end of the
+    batch in which the watermark crosses them — that is what makes
+    unbounded ingest feasible at 10^12-doc scale. Late-row dropping
+    follows Spark's documented one-directional guarantee: a row within
+    the delay is always aggregated; a row beyond it is dropped once the
+    window's state is evicted (measured: eviction `numRowsRemoved` in the
+    crossing batch, `numRowsDroppedByWatermark` from the next batch on —
+    pinned in tests).
+
+    Mention extraction stays fully JVM-side: whole-word lexicon hits via
+    ``regexp_extract_all`` over the exploded text spans (the same
+    technique the kg_mention_counts oracle replays), with the regex
+    passed as a literal COLUMN — ``\\b`` inside an F.expr SQL string
+    would be eaten by the SQL lexer. No Python stage, so the event-time
+    column flows through untouched.
+
+    Output (streaming): (window_start, window_end, label, n_mentions);
+    run with update/append output mode per sink semantics.
+    """
+    texts = docs_stream.select(
+        F.col(ts_col).alias("_ts"),
+        F.explode(F.expr("filter(spans, s -> s.kind = 'text')")).alias("_s"),
+    ).select("_ts", F.lower(F.col("_s.text")).alias("_t"))
+    lex = F.array(*[
+        F.struct(
+            F.lit(label).alias("label"),
+            F.lit(rf"\b{term}\b").alias("pat"),
+        )
+        for term, label in sorted(lexicon.items())
+    ])
+    mentions = (
+        texts.select("_ts", F.explode(lex).alias("_lx"), "_t")
+        .select(
+            "_ts",
+            F.col("_lx.label").alias("label"),
+            F.size(
+                F.regexp_extract_all("_t", F.col("_lx.pat"), F.lit(0))
+            ).alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+    )
+    return (
+        mentions.withWatermark("_ts", watermark_delay)
+        .groupBy(F.window("_ts", window_duration).alias("_w"), "label")
+        .agg(F.sum("_n").alias("n_mentions"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "label",
+            "n_mentions",
+        )
+    )
+
+
 def start_mention_stream(
     docs_stream: DataFrame,
     golds: DataFrame,

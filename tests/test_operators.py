@@ -1201,6 +1201,86 @@ class TestStreaming:
         # multiple micro-batches actually ran
         assert got.select("batch_id").distinct().count() >= 2
 
+    def test_windowed_counts_watermark_drops_late_rows(self, spark, tmp_path):
+        """Stateful streaming path: tumbling-window mention counts under a
+        watermark. Four single-file micro-batches: (1) on-time rows in the
+        10:00 window, (2) an 11:00 row that advances the watermark to
+        10:55 (state for the 10:00 window is EVICTED at the end of the
+        crossing batch — numRowsRemoved), (3) a batch under that watermark
+        so eviction is behind us, (4) a LATE 10:01 row — dropped by the
+        watermark (numRowsDroppedByWatermark), never re-creating or
+        mutating the closed 10:00 window. This is Spark's documented
+        one-directional guarantee: within-delay rows always aggregate,
+        beyond-delay rows are dropped once state is evicted."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from generative_ner_spark.streaming import mentions as sm
+
+        indir = tmp_path / "stream_in"
+        indir.mkdir()
+
+        def doc(doc_id, text, ts):
+            return _json.dumps({
+                "doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text,
+                           "media_ref": None, "offset": 0}],
+                "ingest_ts": ts,
+            })
+
+        files = [
+            ("f1.json", [doc("d1", "alpha beta alpha", "2025-01-01T10:00:00Z"),
+                         doc("d2", "alpha", "2025-01-01T10:04:00Z")]),
+            ("f2.json", [doc("d3", "alpha", "2025-01-01T11:00:00Z")]),
+            ("f3.json", [doc("d4", "beta", "2025-01-01T11:01:00Z")]),
+            # late: 10:01 << watermark (10:55), state already evicted
+            ("f4.json", [doc("d5", "alpha alpha alpha alpha",
+                             "2025-01-01T10:01:00Z")]),
+        ]
+        now = _time.time()
+        for i, (name, lines) in enumerate(files):
+            p = indir / name
+            p.write_text("\n".join(lines) + "\n")
+            _os.utime(p, (now + i * 10, now + i * 10))  # batch order by mtime
+
+        stream = (
+            spark.readStream
+            .schema("doc_id string, "
+                    "spans array<struct<kind:string,text:string,"
+                    "media_ref:string,offset:int>>, ingest_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir))
+        )
+        counts = sm.windowed_mention_counts_stream(
+            stream, {"alpha": "ORG", "beta": "PER"},
+            window_duration="10 minutes", watermark_delay="5 minutes",
+        )
+        q = (
+            counts.writeStream.format("memory").queryName("wmc")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "wmc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM wmc").collect()
+        org_10 = {r.n_mentions for r in rows
+                  if r.label == "ORG" and r.window_start.minute == 0
+                  and r.window_start.hour == 10}
+        assert org_10 == {3}, rows  # f1's 3 alphas; the late 4 never arrive
+        org_11 = {r.n_mentions for r in rows
+                  if r.label == "ORG" and r.window_start.hour == 11}
+        assert org_11 == {1}
+        # the late row was dropped BY THE WATERMARK, not lost: state metrics
+        dropped = sum((p["stateOperators"][0] or {})
+                      .get("numRowsDroppedByWatermark", 0)
+                      for p in q.recentProgress if p["stateOperators"])
+        removed = sum((p["stateOperators"][0] or {}).get("numRowsRemoved", 0)
+                      for p in q.recentProgress if p["stateOperators"])
+        assert dropped >= 1  # f4's late row
+        assert removed >= 1  # 10:00-window state evicted when wm crossed it
+
     def test_batch_replay_is_idempotent(self, spark, tmp_path):
         """foreachBatch may re-invoke a batch after failure; the dynamic
         partition overwrite keyed on batch_id must not duplicate triples."""
