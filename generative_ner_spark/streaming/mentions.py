@@ -142,6 +142,76 @@ def windowed_mention_counts_stream(
     )
 
 
+def streaming_first_seen_dedup(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark_delay: str = "10 minutes",
+    dedup_ttl_minutes: int = 30,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch exact dedup of a document stream.
+
+    Emits only the FIRST occurrence of each text fingerprint (md5 of the
+    normalized concatenated text spans — the same key the batch exact-dedup
+    operator uses); later arrivals of the same fingerprint are suppressed.
+    Per-fingerprint state self-expires via an EVENT-TIME timeout once the
+    watermark passes first_seen + ttl, so state is bounded by the distinct
+    documents per TTL window, never by stream lifetime — the property that
+    makes continuous ingest dedup feasible at 10^12-doc scale.
+
+    Timeout semantics (Spark contract, pinned in tests): a group's timeout
+    fires in a batch where the watermark has passed its timeout timestamp
+    AND the group received no data in that batch; the state is removed and
+    a later re-arrival of the same fingerprint is emitted again (dedup
+    "forgets" after the TTL, exactly like a TTL'd bloom/KV dedup layer).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from generative_ner_spark.operators.quality import fingerprint_col
+
+    flat = (
+        docs_stream.select(
+            "doc_id",
+            F.col(ts_col).alias("ingest_ts"),
+            F.expr(
+                "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
+                " s -> s.text))"
+            ).alias("text"),
+        )
+        .withColumn("fingerprint", fingerprint_col("text"))
+        .withWatermark("ingest_ts", watermark_delay)
+    )
+    ttl_ms = dedup_ttl_minutes * 60_000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        import pandas as _pd
+
+        rows = _pd.concat(list(pdfs))
+        if state.exists:
+            return  # duplicate arrivals inside the TTL: suppressed
+        first = rows.sort_values(["ingest_ts", "doc_id"]).iloc[0]
+        first_ms = int(first["ingest_ts"].value // 1_000_000)
+        state.update((first_ms,))
+        state.setTimeoutTimestamp(first_ms + ttl_ms)
+        yield _pd.DataFrame({
+            "fingerprint": [key[0]],
+            "doc_id": [first["doc_id"]],
+            "ingest_ts": [first["ingest_ts"]],
+        })
+
+    return flat.groupBy("fingerprint").applyInPandasWithState(
+        fn,
+        outputStructType="fingerprint string, doc_id string, "
+                         "ingest_ts timestamp",
+        stateStructType="first_seen_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def start_mention_stream(
     docs_stream: DataFrame,
     golds: DataFrame,

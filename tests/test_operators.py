@@ -1281,7 +1281,70 @@ class TestStreaming:
         assert dropped >= 1  # f4's late row
         assert removed >= 1  # 10:00-window state evicted when wm crossed it
 
-    def test_batch_replay_is_idempotent(self, spark, tmp_path):
+    def test_streaming_first_seen_dedup_with_ttl(self, spark, tmp_path):
+        """applyInPandasWithState dedup: the first occurrence of each text
+        fingerprint is emitted, later arrivals inside the TTL are
+        suppressed across micro-batches, and after the watermark passes
+        first_seen + TTL the state times out — a re-arrival is emitted
+        AGAIN (the dedup layer forgets, state stays bounded). Five
+        single-file batches drive each phase."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from generative_ner_spark.streaming import mentions as sm
+
+        indir = tmp_path / "dedup_in"
+        indir.mkdir()
+
+        def doc(doc_id, text, ts):
+            return _json.dumps({
+                "doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text,
+                           "media_ref": None, "offset": 0}],
+                "ingest_ts": ts,
+            })
+
+        X = "alpha beta gamma"
+        files = [
+            ("f1.json", [doc("x1", X, "2025-01-01T10:00:00Z"),
+                         doc("y1", "something else", "2025-01-01T10:01:00Z")]),
+            ("f2.json", [doc("x2", X, "2025-01-01T10:05:00Z")]),  # dup: suppressed
+            ("f3.json", [doc("z1", "advancer one", "2025-01-01T11:30:00Z")]),
+            # f4: no X data, watermark (11:20) > X timeout (10:30) -> state expires
+            ("f4.json", [doc("z2", "advancer two", "2025-01-01T11:31:00Z")]),
+            ("f5.json", [doc("x3", X, "2025-01-01T11:25:00Z")]),  # re-emitted
+        ]
+        now = _time.time()
+        for i, (name, lines) in enumerate(files):
+            p = indir / name
+            p.write_text("\n".join(lines) + "\n")
+            _os.utime(p, (now + i * 10, now + i * 10))
+
+        stream = (
+            spark.readStream
+            .schema("doc_id string, "
+                    "spans array<struct<kind:string,text:string,"
+                    "media_ref:string,offset:int>>, ingest_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir))
+        )
+        deduped = sm.streaming_first_seen_dedup(
+            stream, watermark_delay="10 minutes", dedup_ttl_minutes=30)
+        q = (
+            deduped.writeStream.format("memory").queryName("sdedup")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "sdedup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("SELECT * FROM sdedup").collect()
+        emitted = [r.doc_id for r in rows]
+        assert "x1" in emitted and "x2" not in emitted  # cross-batch dedup
+        assert "x3" in emitted  # TTL expiry -> forgotten -> re-emitted
+        assert {"y1", "z1", "z2"} <= set(emitted)
+        assert len(emitted) == len(set(emitted)) == 5
         """foreachBatch may re-invoke a batch after failure; the dynamic
         partition overwrite keyed on batch_id must not duplicate triples."""
         from generative_ner_spark.operators.canonicalize import canonical_map
