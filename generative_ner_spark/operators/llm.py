@@ -56,6 +56,22 @@ def detect_templates(chat_template: str, need_instruction: bool = False
     return out
 
 
+def _template_env():
+    """The sandboxed jinja environment apply_chat_template documents:
+    ImmutableSandboxedEnvironment + trim/lstrip blocks + a raise_exception
+    global (real model templates use it to reject unsupported turns). One
+    definition shared by the pure renderer and the Spark column operator so
+    the two can never diverge."""
+    from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+    def raise_exception(message: str):
+        raise ValueError(message)
+
+    env = ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
+    env.globals["raise_exception"] = raise_exception
+    return env
+
+
 def render_chat_template(
     messages: list[dict[str, str]],
     chat_template: str,
@@ -76,14 +92,7 @@ def render_chat_template(
     src/data/preprocessor.py:76-106 + pred.py:13-29): the only part that
     still needs torch is the forward pass itself (generate_with_model).
     """
-    from jinja2.sandbox import ImmutableSandboxedEnvironment
-
-    def raise_exception(message: str):
-        raise ValueError(message)
-
-    env = ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
-    env.globals["raise_exception"] = raise_exception
-    return env.from_string(chat_template).render(
+    return _template_env().from_string(chat_template).render(
         messages=messages,
         add_generation_prompt=add_generation_prompt,
         bos_token=bos_token,
@@ -112,16 +121,8 @@ def with_rendered_prompt(
     _tmpl_cache: dict = {}
 
     def fn(batches):
-        from jinja2.sandbox import ImmutableSandboxedEnvironment
-
         if "t" not in _tmpl_cache:
-            def raise_exception(message: str):
-                raise ValueError(message)
-
-            env = ImmutableSandboxedEnvironment(
-                trim_blocks=True, lstrip_blocks=True)
-            env.globals["raise_exception"] = raise_exception
-            _tmpl_cache["t"] = env.from_string(chat_template)
+            _tmpl_cache["t"] = _template_env().from_string(chat_template)
         tmpl = _tmpl_cache["t"]
         for pdf in batches:
             rendered = [

@@ -88,14 +88,16 @@ def _knn_partition_candidates(
     (rounded cosine desc, id asc), so the pre-reduction can never drop a
     row the final window would have kept."""
     qrows = queries.select(query_id_col, query_vec_col).collect()  # broadcast-sized by contract
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine double"
+    spark = embeddings.sparkSession
+    if not qrows:  # empty query set -> empty result, not a numpy crash
+        return spark.createDataFrame([], out_schema)
     qids = np.asarray([r[0] for r in qrows])
     Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)  # (nq, dim)
     Qn = np.sqrt((Q * Q).sum(axis=1))
     nq = len(qids)
-
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    id_type = embeddings.schema[id_col].dataType.simpleString()
-    out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine double"
 
     def fn(batches):
         # running per-query top-k across this partition's batches
@@ -107,14 +109,23 @@ def _knn_partition_candidates(
             V = np.asarray(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
             ids = pdf[id_col].to_numpy()
             Vn = np.sqrt((V * V).sum(axis=1))
-            S = np.round((V @ Q.T) / (Vn[:, None] * Qn[None, :]), 6)  # (n, nq)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.round((V @ Q.T) / (Vn[:, None] * Qn[None, :]), 6)
             for j in range(nq):
                 sc = S[:, j]
                 cand_ids, cand_sc = ids, sc
                 if run_ids[j] is not None:
                     cand_ids = np.concatenate([run_ids[j], ids])
                     cand_sc = np.concatenate([run_sc[j], sc])
-                order = np.lexsort((cand_ids, -cand_sc))[:k]
+                # zero-norm vectors: cosine is undefined -> numpy NaN ->
+                # Arrow null -> Spark NULL, and the final window's desc
+                # ordering puts NULLS LAST — so the selection key must rank
+                # them last too (-inf), keeping exactly the rows the window
+                # would keep. (The pure-JVM expression paths can't even
+                # express this: double division by zero RAISES under
+                # Spark 4 ANSI mode.)
+                sel = np.where(np.isnan(cand_sc), -np.inf, cand_sc)
+                order = np.lexsort((cand_ids, -sel))[:k]
                 run_ids[j], run_sc[j] = cand_ids[order], cand_sc[order]
         if run_ids[0] is None:
             return

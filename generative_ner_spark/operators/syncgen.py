@@ -206,6 +206,14 @@ def generate_sync(
         F.lit("stop").alias("finish_reason"),
         F.lit(None).cast("string").alias("error"),
     )
-    # failures surface from the SAME materialization — no second call
-    failed = fresh.where(F.col("finish_reason") != "stop")
+    # failures surface from the SAME materialization — no second call.
+    # Anti-join vs the refreshed cache: if two examples share one prompt
+    # hash and the responder succeeded for one but failed for the other in
+    # this run, the success was cached and the cache join above ALREADY
+    # serves both examples — emitting the failure row too would return the
+    # same example twice with contradictory status (cache-hash semantics:
+    # one response per distinct prompt, src/gpt/utils.py:64-101).
+    failed = fresh.where(F.col("finish_reason") != "stop").join(
+        cache.select("prompt_hash"), "prompt_hash", "left_anti"
+    )
     return served.unionByName(failed)

@@ -187,11 +187,15 @@ def streaming_first_seen_dedup(
         if state.hasTimedOut:
             state.remove()
             return
+        if state.exists:
+            # duplicate arrivals inside the TTL: suppressed WITHOUT
+            # consuming the arrow batches — in a dedup stream duplicates
+            # are the hot path, and materializing them just to discard
+            # would be pure wasted copy at ingest scale
+            return
         import pandas as _pd
 
         rows = _pd.concat(list(pdfs))
-        if state.exists:
-            return  # duplicate arrivals inside the TTL: suppressed
         first = rows.sort_values(["ingest_ts", "doc_id"]).iloc[0]
         first_ms = int(first["ingest_ts"].value // 1_000_000)
         state.update((first_ms,))

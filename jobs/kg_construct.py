@@ -74,10 +74,15 @@ def main(argv: list[str] | None = None) -> int:
 
         from generative_ner_spark.operators import canonicalize
 
-        if os.path.exists(args.canonical):
+        # gate on _SUCCESS, not bare existence: a directory left by a
+        # crashed prior write must be recomputed, not silently read as a
+        # (partial) canonical map. Local-FS path semantics — on an object
+        # store route this through the catalog/table API instead.
+        if os.path.exists(os.path.join(args.canonical, "_SUCCESS")):
             canonical_df = spark.read.parquet(args.canonical)
         else:
-            canonicalize.canonical_map(entities_df).write.parquet(args.canonical)
+            canonicalize.canonical_map(entities_df).write.mode(
+                "overwrite").parquet(args.canonical)
             canonical_df = spark.read.parquet(args.canonical)
 
     res = run_pipeline(

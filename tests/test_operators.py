@@ -321,6 +321,40 @@ class TestSyncGenerate:
         assert all(r.generated_text is None and r.error == "finish_reason=length"
                    for r in out2)
 
+    def test_shared_hash_flaky_responder_one_row_per_example(self, spark, tmp_path):
+        """Two examples sharing ONE prompt hash + a responder that fails
+        the first call and succeeds the second: the cached success serves
+        BOTH examples (one response per distinct prompt — reference cache
+        semantics) and the failure row for the now-cached hash is NOT also
+        emitted (pre-fix the example came back twice with contradictory
+        status)."""
+        cache = str(tmp_path / "c")
+        log = str(tmp_path / "n.log")
+
+        def flaky(messages, params):
+            with open(log, "a") as f:
+                f.write("x\n")
+            n = sum(1 for _ in open(log))
+            return ("", "length") if n == 1 else ("ok", "stop")
+
+        prompts = spark.createDataFrame(
+            [("e1",), ("e2",)], "example_id string"
+        ).select(
+            "example_id",
+            F.array(F.struct(
+                F.lit("user").alias("role"),
+                F.lit("same content").alias("content"),
+            )).alias("prompt"),
+        ).coalesce(1)  # serialize the two calls through one worker
+        out = syncgen.generate_sync(prompts, flaky, cache_dir=cache).collect()
+        by_eid = {}
+        for r in out:
+            by_eid.setdefault(r.example_id, []).append(r)
+        assert set(by_eid) == {"e1", "e2"}
+        assert all(len(v) == 1 for v in by_eid.values()), out  # no dup rows
+        assert all(v[0].finish_reason == "stop" and v[0].generated_text == "ok"
+                   for v in by_eid.values())
+
     def test_responder_called_once_per_pending_prompt(self, spark, tmp_path):
         """The cache path materializes the responder output ONCE: multiple
         downstream actions (metrics, sinks, error counts — run_gpt_spark
@@ -1117,6 +1151,37 @@ class TestDedupSimilarity:
         tops = {r.query_id: r.vec_id for r in res.where("rank = 1").collect()}
         assert tops == {0: 0, 1: 1, 2: 2}
 
+    def test_knn_join_empty_queries_and_zero_norm_vectors(self, spark):
+        """Edge parity with the window form: an empty query set returns an
+        empty frame (not a numpy axis crash), and a zero-norm corpus vector
+        (NaN cosine) ranks FIRST — Spark's desc ordering treats NaN as
+        greater than any double, and the pre-reduction must keep exactly
+        what the final window would keep."""
+        import random
+
+        rng = random.Random(23)
+        rows = [(0, [0.0] * 8)]  # zero vector -> NaN cosine
+        rows += [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(1, 20)]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        empty_q = em.where("vec_id < 0").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        assert similarity.knn_join_topk(em, empty_q, k=5).count() == 0
+        queries = em.where("vec_id = 1").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        got = [r.vec_id for r in similarity.knn_join_topk(em, queries, k=5)
+               .orderBy("rank").collect()]
+        # zero-norm cosine is NULL (numpy NaN -> Arrow null) and ranks LAST
+        # (window desc = NULLS LAST), so with >= k finite candidates the
+        # undefined row never enters the top-k; the JVM expression paths
+        # (brute_force_topk / the old crossJoin form) RAISE DIVIDE_BY_ZERO
+        # under Spark 4 ANSI on the same input — the numpy path degrades
+        # gracefully instead
+        assert 0 not in got
+        qvec = [float(x) for x in em.where("vec_id = 1").first()["embedding"]]
+        exact = [r.vec_id for r in similarity.brute_force_topk(
+            em.where("vec_id != 0"), qvec, k=5).collect()]
+        assert got == exact  # finite ranks agree with exact brute force
+
     def test_knn_join_prereduction_bound_and_exactness(self, spark):
         """The window's input is the PRE-REDUCED candidate set: <= k *
         n_queries * n_partitions rows (the scale guarantee — the old form
@@ -1345,6 +1410,8 @@ class TestStreaming:
         assert "x3" in emitted  # TTL expiry -> forgotten -> re-emitted
         assert {"y1", "z1", "z2"} <= set(emitted)
         assert len(emitted) == len(set(emitted)) == 5
+
+    def test_batch_replay_is_idempotent(self, spark, tmp_path):
         """foreachBatch may re-invoke a batch after failure; the dynamic
         partition overwrite keyed on batch_id must not duplicate triples."""
         from generative_ner_spark.operators.canonicalize import canonical_map
