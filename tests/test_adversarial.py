@@ -79,3 +79,66 @@ def test_mention_norm_unicode_roundtrip(spark):
     out = detect.ground(gens).collect()
     assert len(out) == 1
     assert out[0].mention_norm == REF.normalize_answer("crème brûlée")
+
+
+def test_md5_hash_family_twins_fuzz(spark):
+    """Property fuzz for the md5 hash families that BACK the q19/q20/q31
+    DuckDB oracles: the Spark SQL expressions (conv(substring(md5)) token
+    hash -> 60-bit simhash; md5-prefix universal-hash minhash) must be
+    bit-exact twins of a pure-python recomputation over adversarial ASCII
+    texts (punctuation runs, repeated tokens, long words, empties).
+
+    ASCII-only on purpose: Java/RE2 '\\s+' is ASCII whitespace while
+    Python's re is unicode-aware — the ORACLE side (DuckDB RE2) matches
+    Spark, and the pure twin here pins the shared ASCII semantics.
+    """
+    import hashlib
+    import random
+    import re
+
+    from generative_ner_spark.operators import dedup
+    from generative_ner_spark.operators.canonicalize import (
+        _MH_P,
+        _mh_coeffs,
+        minhash_df,
+        with_shingles,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcXYZ019 .,:;!?()[]'\"-_/\t"
+    texts = ["", " ", "one", "a  b", "tab\tsep", "trailing  "]
+    texts += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 120)))
+              for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    # --- simhash (60-bit md5 family) -------------------------------------
+    got_sh = {r.doc_id: r.simhash for r in dedup.with_simhash(
+        df, hash_family="md5").select("doc_id", "simhash").collect()}
+    for i, t in enumerate(texts):
+        tokens = [tok for tok in re.split(r"[ \t\n\x0b\f\r]+", t) if tok]
+        hs = [int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+              for tok in tokens]
+        sig = 0
+        for bit in range(60):
+            if sum(1 if (h >> bit) & 1 else -1 for h in hs) > 0:
+                sig |= 1 << bit
+        assert got_sh[i] == sig, (i, t)
+
+    # --- minhash (md5-prefix universal hashing) --------------------------
+    sh_df = with_shingles(
+        df.selectExpr("doc_id as id", "text as nm"), "nm", n=5
+    ).select("id", "shingles")
+    got_mh = {r.id: list(r.minhash) for r in minhash_df(
+        sh_df, "id", "shingles", k=16, hash_family="md5").collect()}
+    coeffs = _mh_coeffs(16)
+    for i, t in enumerate(texts):
+        if len(t) < 5:
+            shingles = [t]
+        else:
+            shingles = list(dict.fromkeys(
+                t[j:j + 5] for j in range(len(t) - 4)))
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_P
+              for s in shingles]
+        want = [min((h * a + b) % _MH_P for h in hs) for a, b in coeffs]
+        assert got_mh[i] == want, (i, t)
