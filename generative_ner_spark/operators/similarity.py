@@ -330,6 +330,79 @@ def probe_lsh_index(index: LshIndex, query: list[float], k: int = 10
     ).limit(k)
 
 
+def probe_lsh_index_many(
+    index: LshIndex,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """BATCH ANN probe: top-k per query for a broadcast-sized query set.
+
+    The single-probe OR-filter does not scale past a handful of queries
+    (the filter grows per query and every probe is its own job). Batch
+    shape instead: query buckets computed driver-side with one numpy
+    matmul, exploded into a small (query_id, lsh_table, bucket) frame that
+    BROADCAST-joins the index's exploded buckets; candidates dedup on
+    (query_id, id); exact cosine re-rank via the query-vector broadcast;
+    row_number window per query. The corpus-side explode is narrow (tables
+    x one int) over the persisted index — no re-bucketing, no shuffle of
+    vectors except the candidate rows themselves.
+
+    Output: (query_id, id, cosine, rank) with rank <= k.
+    """
+    spark = index.df.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    out_schema = (
+        f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+        f"{index.id_col} {index.df.schema[index.id_col].dataType.simpleString()}, "
+        "cosine double, rank int"
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    H = np.array(
+        [_hyperplane(index.dim, t, p)
+         for t in range(index.tables) for p in range(index.planes)],
+        dtype=np.float64,
+    )
+    powers = (2 ** np.arange(index.planes)).astype(np.int64)
+    qb_rows = []
+    for r in qrows:
+        v = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+        signs = (H @ v > 0).reshape(index.tables, index.planes)
+        for t in range(index.tables):
+            qb_rows.append((r[0], t, int((signs[t] * powers).sum())))
+    qb = spark.createDataFrame(
+        qb_rows,
+        f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+        "lsh_table int, bucket int",
+    )
+    exploded = index.df.select(
+        index.id_col, index.vec_col,
+        F.posexplode("_bk").alias("lsh_table", "bucket"),
+    )
+    cand = (
+        exploded.join(F.broadcast(qb), ["lsh_table", "bucket"])
+        .select(query_id_col, index.id_col, index.vec_col)
+        .dropDuplicates([query_id_col, index.id_col])
+    )
+    qvecs = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+        "_qv array<double>",
+    )
+    scored = cand.join(F.broadcast(qvecs), query_id_col).select(
+        query_id_col, index.id_col,
+        F.round(cosine_col(F.col(index.vec_col), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(index.id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -476,6 +549,60 @@ def probe_ivf_index(index: IvfIndex, query: list[float], k: int = 10,
     return scored.orderBy(
         F.col("cosine").desc(), F.col(index.id_col).asc()
     ).limit(k)
+
+
+def probe_ivf_index_many(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """BATCH IVF probe: top-k per query for a broadcast-sized query set.
+
+    Per query, the nprobe nearest cells are ranked driver-side against the
+    kilobyte centroid table; the (query_id, _cell) pairs broadcast-join the
+    cell-partitioned index (a join on the partition column — still
+    partition-prunable to the UNION of probed cells when the index is a
+    written table), then exact cosine re-rank + per-query window.
+
+    Output: (query_id, id, cosine, rank) with rank <= k.
+    """
+    spark = index.df.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_id_col} {qid_t}, "
+        f"{index.id_col} {index.df.schema[index.id_col].dataType.simpleString()}, "
+        "cosine double, rank int"
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    cell_rows = []
+    for r in qrows:
+        v = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+        d2 = ((index.centroids - v[None, :]) ** 2).sum(axis=1)
+        for c in d2.argsort()[:nprobe]:
+            cell_rows.append((r[0], int(c)))
+    qc = spark.createDataFrame(cell_rows, f"{query_id_col} {qid_t}, _cell int")
+    cand = index.df.join(F.broadcast(qc), "_cell").select(
+        query_id_col, index.id_col, index.vec_col
+    )
+    qvecs = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        f"{query_id_col} {qid_t}, _qv array<double>",
+    )
+    scored = cand.join(F.broadcast(qvecs), query_id_col).select(
+        query_id_col, index.id_col,
+        F.round(cosine_col(F.col(index.vec_col), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(index.id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def ivf_topk(

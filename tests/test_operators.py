@@ -1096,6 +1096,46 @@ class TestDedupSimilarity:
         assert 0 < len(read_files) < len(all_files)
         assert all(any(f"_cell={c}/" in f for c in cells) for f in read_files)
 
+    def test_batch_probes_match_single_probes(self, spark):
+        """probe_lsh_index_many / probe_ivf_index_many (the broadcast-join
+        batch shapes) return EXACTLY what the per-query single probes
+        return, query by query; empty query sets return empty frames."""
+        import random
+
+        rng = random.Random(31)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(150)]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = em.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        qlist = queries.collect()
+
+        lsh = similarity.build_lsh_index(em, dim=16, tables=4, planes=6).persist()
+        batch = {}
+        for r in similarity.probe_lsh_index_many(lsh, queries, k=5).collect():
+            batch.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        for r in qlist:
+            single = [x.vec_id for x in similarity.probe_lsh_index(
+                lsh, [float(v) for v in r.query_vec], k=5).collect()]
+            got = [v for _, v in sorted(batch.get(r.query_id, []))]
+            assert got == single, ("lsh", r.query_id)
+
+        ivf = similarity.build_ivf_index(em, dim=16, n_cells=6)
+        batch = {}
+        for r in similarity.probe_ivf_index_many(
+                ivf, queries, k=5, nprobe=2).collect():
+            batch.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        for r in qlist:
+            single = [x.vec_id for x in similarity.probe_ivf_index(
+                ivf, [float(v) for v in r.query_vec], k=5, nprobe=2).collect()]
+            got = [v for _, v in sorted(batch.get(r.query_id, []))]
+            assert got == single, ("ivf", r.query_id)
+
+        empty = queries.where("query_id < 0")
+        assert similarity.probe_lsh_index_many(lsh, empty).count() == 0
+        assert similarity.probe_ivf_index_many(ivf, empty).count() == 0
+        lsh.unpersist()
+
     def test_lsh_index_writable_and_reusable(self, spark, tmp_path):
         """The ANN index is a plain table: write it, read it back, probe the
         reloaded copy — identical results, zero re-bucketing of the corpus
