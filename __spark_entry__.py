@@ -4,10 +4,12 @@
               linking -> canonicalization -> triples) over sf0.001 testdata.
 ``queries`` — one entry per implemented operator family (SURVEY.md §2 +
               training-data ops); each returns a DataFrame on (spark, sf_dir).
-``oracle_sql`` — DuckDB-equivalent ANSI SQL per query where expressible;
-              omitted only for ops whose semantics are non-SQL (xxhash64-
-              based LSH internals, Python-literal parsing pipeline stages),
-              which the driver records as rows-only checks.
+``oracle_sql`` — DuckDB-equivalent ANSI SQL for EVERY query (36/36):
+              non-SQL-looking operators are made replayable by construction
+              — md5 hash families for the minhash/simhash machinery,
+              literal-hyperplane replay for the LSH ANN probe, structural
+              planted-copy recall for IVF, a recursive transitive-closure
+              CTE for the fuzzy-dedup components.
 """
 
 from __future__ import annotations
