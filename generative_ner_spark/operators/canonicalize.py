@@ -157,6 +157,10 @@ def lsh_candidate_pairs(
     the recall loss from the ``max_bucket`` hot-bucket cap, at the cost of
     one extra small aggregate job. Without it the cap is silent.
 
+    ``hash_family``: 'xxhash64' (fast path, the production default) or
+    'md5' (cross-engine path whose signatures a DuckDB oracle recomputes
+    exactly — see _shingle_hash; backs the q20/q31 driver oracles).
+
     The verified pairs are eagerly ``localCheckpoint``ed before returning:
     the shingle-set cache backing three plan branches is then unpersisted
     immediately (the r1 form leaked it across calls), and downstream
