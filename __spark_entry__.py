@@ -557,6 +557,25 @@ def q31_near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line fractions + top
+    word-bigram coverage). The raw testdata has no newlines, so the line
+    features run over a deterministic multi-line construction (doc_id-mod
+    repeat patterns — SQL-replayable, so the oracle covers every branch);
+    the bigram features run on the real word content."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = F.expr("substring(text, 1, 60)")
+    s2 = F.expr("substring(text, 61, 60)")
+    m = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws("\n", s1, s1, s2))
+        .when(F.col("doc_id") % 3 == 1, F.concat_ws("\n", s1, s2, s2, s2))
+        .otherwise(F.concat_ws("\n", s1, s2))
+        .alias("text"),
+    )
+    return quality.repetition_features(m).orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -647,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_curated_documents": q30_curated_documents,
         "q31_near_dedup_documents": q31_near_dedup_documents,
         "q32_knn_join_topk": q32_knn_join_topk,
+        "q33_repetition_features": q33_repetition_features,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1161,6 +1181,72 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
             ORDER BY query_id, rank""",
+        "q33_repetition_features": """
+            WITH docs AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0 THEN
+                             substring(text, 1, 60) || chr(10) ||
+                             substring(text, 1, 60) || chr(10) ||
+                             substring(text, 61, 60)
+                         WHEN doc_id % 3 = 1 THEN
+                             substring(text, 1, 60) || chr(10) ||
+                             substring(text, 61, 60) || chr(10) ||
+                             substring(text, 61, 60) || chr(10) ||
+                             substring(text, 61, 60)
+                         ELSE substring(text, 1, 60) || chr(10) ||
+                              substring(text, 61, 60)
+                    END AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, line
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                      FROM docs)
+                WHERE line != ''
+            ),
+            per_line AS (
+                SELECT doc_id, line, count(*) AS c, length(line) AS len
+                FROM lines GROUP BY doc_id, line
+            ),
+            line_stats AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_lines,
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup,
+                       CAST(sum(len * c) AS BIGINT) AS chars,
+                       CAST(sum(CASE WHEN c > 1 THEN len * c ELSE 0 END) AS BIGINT) AS dup_chars
+                FROM per_line GROUP BY doc_id
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x != '') AS tk
+                FROM docs
+            ),
+            bg AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, len(tk) - 1)) AS i
+                      FROM toks WHERE len(tk) >= 2)
+            ),
+            bg_cnt AS (SELECT doc_id, bg, count(*) AS bc FROM bg GROUP BY doc_id, bg),
+            top AS (
+                SELECT doc_id, bg AS top_bigram, CAST(bc AS BIGINT) AS top_bigram_count
+                FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY bc DESC, bg ASC) AS rn FROM bg_cnt)
+                WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(l.n_lines, 0) AS n_lines,
+                   round(coalesce(1.0 * l.dup / l.n_lines, 0), 6) AS dup_line_frac,
+                   round(coalesce(1.0 * l.dup_chars / l.chars, 0), 6) AS dup_line_char_frac,
+                   coalesce(t.top_bigram, '') AS top_bigram,
+                   coalesce(t.top_bigram_count, 0) AS top_bigram_count,
+                   round(coalesce(1.0 * t.top_bigram_count * length(t.top_bigram)
+                         / greatest(length(d.text), 1), 0), 6) AS top_bigram_char_frac
+            FROM docs d
+            LEFT JOIN line_stats l USING (doc_id)
+            LEFT JOIN top t USING (doc_id)
+            ORDER BY d.doc_id""",
         "q18_ann_lsh_topk": _lsh_ann_sql(dim=64, tables=8, planes=6, k=10),
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,

@@ -161,6 +161,92 @@ def curate(
     )
 
 
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, published
+    filter set): duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and top word-bigram coverage — the staple "is this document
+    degenerate boilerplate / a scrape loop" filters for training-data
+    curation.
+
+    Output per doc: (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram, top_bigram_count, top_bigram_char_frac), fractions rounded
+    to 6 places, bigram ties broken (count desc, bigram asc). Note
+    top_bigram_char_frac is count x len(bigram) / len(text): overlapping
+    repeats ("w w w w") can push it above 1 — it is a repetition SIGNAL
+    for thresholding, not a strict proportion.
+
+    Distributed shape: two explode+groupBy pipelines (lines / bigrams) —
+    every aggregation is keyed on the uniform doc id, so both shuffles are
+    skew-free and map-side combined; the top bigram is a per-doc window
+    over the already-reduced (doc, bigram, count) rows, never raw tokens.
+    Fully SQL-expressible, so q33 carries a complete DuckDB oracle.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+
+    lines = base.select(
+        "doc_id", F.explode(F.split("_t", "\n")).alias("line")
+    ).where(F.col("line") != "")
+    per_line = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+        .withColumn("len", F.length("line"))
+    )
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+        F.sum(F.col("len") * F.col("c")).alias("_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("len") * F.col("c")).otherwise(0))
+        .alias("_dup_chars"),
+    )
+
+    toks = ("filter(split(_t, '\\\\s+'), x -> x != '')")
+    bigram_arr = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE zip_with(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1), "
+        f"(a, b) -> concat(a, ' ', b)) END"
+    )
+    bg = base.select("doc_id", F.explode(F.expr(bigram_arr)).alias("bg"))
+    bg_cnt = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("bc"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bc").desc(), F.col("bg").asc()
+    )
+    top = (
+        bg_cnt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("bg").alias("top_bigram"),
+                F.col("bc").alias("top_bigram_count"))
+    )
+
+    return (
+        base.join(line_stats, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.coalesce(F.col("_dup") / F.col("n_lines"), F.lit(0.0)), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("_dup_chars") / F.col("_chars"), F.lit(0.0)), 6
+            ).alias("dup_line_char_frac"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count") * F.length("top_bigram")
+                    / F.greatest(F.length("_t"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
 def fingerprint_col(col: str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -950,6 +950,35 @@ class TestDedupSimilarity:
         assert got.get((1, 2)) == 0
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_repetition_features(self, spark):
+        """Gopher-style repetition signals on hand-built docs: dup-line
+        fractions, bigram tie-break (count desc, bigram asc), empty text,
+        and the >1 coverage case for overlapping repeats."""
+        from generative_ner_spark.operators import quality as Q
+
+        rows = [
+            (1, "aa bb\naa bb\ncc"),  # 'aa bb' twice + 'cc'
+            (2, "xx yy zz"),          # bigram tie: 'xx yy' wins by asc
+            (3, ""),                  # degenerate
+            (4, "w w w w"),           # overlapping repeats: coverage > 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in Q.repetition_features(df).collect()}
+        r1 = out[1]
+        assert r1.n_lines == 3 and r1.dup_line_frac == round(2 / 3, 6)
+        assert r1.dup_line_char_frac == round(10 / 12, 6)
+        assert (r1.top_bigram, r1.top_bigram_count) == ("aa bb", 2)
+        assert r1.top_bigram_char_frac == round(2 * 5 / 14, 6)
+        r2 = out[2]
+        assert (r2.top_bigram, r2.top_bigram_count) == ("xx yy", 1)
+        assert r2.dup_line_frac == 0.0 and r2.n_lines == 1
+        r3 = out[3]
+        assert (r3.n_lines, r3.top_bigram, r3.top_bigram_count) == (0, "", 0)
+        assert r3.dup_line_frac == 0.0 and r3.top_bigram_char_frac == 0.0
+        r4 = out[4]
+        assert (r4.top_bigram, r4.top_bigram_count) == ("w w", 3)
+        assert r4.top_bigram_char_frac == round(9 / 7, 6)  # signal > 1
+
     def test_near_dedup_keeps_one_survivor_per_cluster(self, spark):
         """Fuzzy dedup is COMPONENT-wise, not pair-wise: a near-dup chain
         A~B~C collapses to its min id even when A!~C directly; unrelated
