@@ -576,6 +576,23 @@ def q33_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.repetition_features(m).orderBy("doc_id")
 
 
+def q34_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced deterministic downsampling: lang-ID the corpus,
+    then keep per-language hash-sampled fractions (en 50%, und 20%,
+    otherwise 100%). Pure rowwise md5 predicate — reproducible across
+    engines, so the DuckDB oracle replays lang-ID + the exact sample."""
+    d = _t(spark, sf_dir, "documents")
+    langs = quality.lang_id(d).select("doc_id", "lang_pred", "text")
+    return (
+        quality.stratified_hash_sample(
+            langs, {"en": 0.5, "und": 0.2}, "lang_pred",
+            key_col="doc_id", default_rate=1.0,
+        )
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")
+    )
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -667,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_near_dedup_documents": q31_near_dedup_documents,
         "q32_knn_join_topk": q32_knn_join_topk,
         "q33_repetition_features": q33_repetition_features,
+        "q34_stratified_sample": q34_stratified_sample,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1247,6 +1265,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN line_stats l USING (doc_id)
             LEFT JOIN top t USING (doc_id)
             ORDER BY d.doc_id""",
+        "q34_stratified_sample": f"""
+            WITH l AS ({_lang_id_sql(order_by=False)})
+            SELECT doc_id, lang_pred
+            FROM l
+            WHERE CAST('0x' || substring(md5('sample:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+                  < CASE lang_pred WHEN 'en' THEN 500000
+                                   WHEN 'und' THEN 200000
+                                   ELSE 1000000 END
+            ORDER BY doc_id""",
         "q18_ann_lsh_topk": _lsh_ann_sql(dim=64, tables=8, planes=6, k=10),
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,

@@ -42,6 +42,8 @@ HEADLINE = [
     "q29_ivf_topk",
     "q31_near_dedup_documents",
     "q32_knn_join_topk",
+    "q33_repetition_features",
+    "q34_stratified_sample",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -161,6 +161,44 @@ def curate(
     )
 
 
+def hash_sample_cond(key_col: str, rate: float, salt: str = "sample") -> Column:
+    """Deterministic hash-sampling predicate: keep a row iff
+    md5(salt:key) mod 10^6 < rate * 10^6.
+
+    The reproducible downsampling primitive a curation pipeline needs:
+    no RNG state, no shuffle, no sort — a pure rowwise filter that gives
+    the SAME sample on every run, engine, and cluster size (md5 is md5),
+    and composes with any partitioning. Rate granularity 1e-6.
+    """
+    threshold = int(rate * 1_000_000)
+    h = (f"pmod(cast(conv(substring(md5(concat('{salt}:', "
+         f"cast({key_col} as string))), 1, 15), 16, 10) as long), 1000000)")
+    return F.expr(f"{h} < {threshold}")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict,
+    group_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-group deterministic downsampling: each row keeps with its
+    group's rate (e.g. language rebalancing: {'en': 0.5, 'de': 1.0}),
+    groups absent from ``rates`` keep with ``default_rate``. One rowwise
+    predicate — no shuffle, no per-group pass, exactly reproducible."""
+    threshold = F.lit(int(default_rate * 1_000_000))
+    for g, r in sorted(rates.items()):
+        threshold = F.when(F.col(group_col) == g,
+                           F.lit(int(r * 1_000_000))).otherwise(threshold)
+    h = F.expr(
+        f"pmod(cast(conv(substring(md5(concat('{salt}:', "
+        f"cast({key_col} as string))), 1, 15), 16, 10) as long), 1000000)"
+    )
+    return df.where(h < threshold)
+
+
 def repetition_features(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, published

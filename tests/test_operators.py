@@ -979,6 +979,29 @@ class TestDedupSimilarity:
         assert (r4.top_bigram, r4.top_bigram_count) == ("w w", 3)
         assert r4.top_bigram_char_frac == round(9 / 7, 6)  # signal > 1
 
+    def test_stratified_hash_sample(self, spark):
+        """Deterministic per-group downsampling: rates land near target,
+        the default rate keeps unlisted groups whole, re-runs are
+        byte-identical, and a different salt draws a different sample."""
+        from generative_ner_spark.operators import quality as Q
+
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        rates = {"a": 0.5, "b": 0.1}
+        out = Q.stratified_hash_sample(df, rates, "grp", default_rate=1.0)
+        kept = out.collect()
+        import collections
+
+        got = collections.Counter(r.grp for r in kept)
+        assert got["c"] == 1000  # default 1.0 keeps every unlisted-group row
+        assert abs(got["a"] - 500) < 80 and abs(got["b"] - 100) < 50, got
+        again = {r.doc_id for r in Q.stratified_hash_sample(
+            df, rates, "grp", default_rate=1.0).collect()}
+        assert again == {r.doc_id for r in kept}  # reproducible
+        other = {r.doc_id for r in Q.stratified_hash_sample(
+            df, rates, "grp", default_rate=1.0, salt="v2").collect()}
+        assert other != again  # salt rotates the sample
+
     def test_near_dedup_keeps_one_survivor_per_cluster(self, spark):
         """Fuzzy dedup is COMPONENT-wise, not pair-wise: a near-dup chain
         A~B~C collapses to its min id even when A!~C directly; unrelated
