@@ -76,11 +76,14 @@ print("SCALERESULT " + json.dumps({
 """
 
 
-def run_level(master: str, n_docs: int) -> dict:
+def run_level(master: str, n_docs: int, timeout: int | None = None) -> dict:
+    # best-of-3 at 640k docs on 4 cores runs ~40 min — scale the cap with
+    # the input instead of silently killing the subprocess at 30 min
+    timeout = timeout or max(1800, int(n_docs / 160_000 * 1200))
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, master, str(n_docs)],
         capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=1800,
+        timeout=timeout,
     )
     for line in out.stdout.splitlines():
         if line.startswith("SCALERESULT "):
