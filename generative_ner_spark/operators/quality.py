@@ -170,7 +170,10 @@ def hash_sample_cond(key_col: str, rate: float, salt: str = "sample") -> Column:
     the SAME sample on every run, engine, and cluster size (md5 is md5),
     and composes with any partitioning. Rate granularity 1e-6.
     """
-    threshold = int(rate * 1_000_000)
+    # round(), not int(): float artifacts (0.3 * 1e6 = 299999.99999...)
+    # would truncate to 299999 and disagree with an oracle that writes the
+    # intended threshold 300000
+    threshold = round(rate * 1_000_000)
     h = (f"pmod(cast(conv(substring(md5(concat('{salt}:', "
          f"cast({key_col} as string))), 1, 15), 16, 10) as long), 1000000)")
     return F.expr(f"{h} < {threshold}")
@@ -188,10 +191,11 @@ def stratified_hash_sample(
     group's rate (e.g. language rebalancing: {'en': 0.5, 'de': 1.0}),
     groups absent from ``rates`` keep with ``default_rate``. One rowwise
     predicate — no shuffle, no per-group pass, exactly reproducible."""
-    threshold = F.lit(int(default_rate * 1_000_000))
+    # round() for the same float-artifact reason as hash_sample_cond
+    threshold = F.lit(round(default_rate * 1_000_000))
     for g, r in sorted(rates.items()):
         threshold = F.when(F.col(group_col) == g,
-                           F.lit(int(r * 1_000_000))).otherwise(threshold)
+                           F.lit(round(r * 1_000_000))).otherwise(threshold)
     h = F.expr(
         f"pmod(cast(conv(substring(md5(concat('{salt}:', "
         f"cast({key_col} as string))), 1, 15), 16, 10) as long), 1000000)"

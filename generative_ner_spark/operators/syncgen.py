@@ -143,6 +143,19 @@ def generate_sync(
     hashed = with_sync_prompt_hash(prompts).select(
         "example_id", "prompt_hash", "prompt"
     )
+    out_cols = ["example_id", "prompt_hash", "generated_text",
+                "finish_reason", "error"]
+
+    def fan_out(per_hash: DataFrame) -> DataFrame:
+        """One responder result per DISTINCT prompt_hash -> one output row
+        per EXAMPLE (cache-hash semantics: examples sharing a prompt share
+        its single response — src/gpt/utils.py:64-101; calling the
+        responder per example row would be duplicate paid API spend, and a
+        nondeterministic responder could race two different texts for one
+        hash)."""
+        return hashed.select("example_id", "prompt_hash").join(
+            per_hash, "prompt_hash"
+        ).select(*out_cols)
 
     def respond(pdf_stream: DataFrame) -> DataFrame:
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,7 +189,10 @@ def generate_sync(
         return pdf_stream.mapInPandas(fn, _SYNC_SCHEMA)
 
     if cache_dir is None:
-        return respond(hashed)
+        return fan_out(
+            respond(hashed.dropDuplicates(["prompt_hash"]))
+            .drop("example_id")
+        )
 
     import os
 
@@ -186,14 +202,15 @@ def generate_sync(
         pending = hashed.join(cached_hashes, "prompt_hash", "left_anti")
     else:
         pending = hashed
-    # One responder call per pending prompt, total (reference semantics:
-    # openai_api.py:258-266 calls once per cache miss). localCheckpoint
-    # materializes the mapInPandas output eagerly so neither the cache
-    # write nor any downstream action (metrics, sinks, error counts)
-    # re-invokes the responder — against a paid API a lazy plan here would
-    # mean duplicate spend, and a flaky responder could return different
-    # text per action within one run.
-    fresh = respond(pending).localCheckpoint()
+    # One responder call per DISTINCT pending prompt, total (reference
+    # semantics: openai_api.py:258-266 calls once per cache miss, keyed on
+    # the prompt hash — two examples sharing one prompt pay once).
+    # localCheckpoint materializes the mapInPandas output eagerly so
+    # neither the cache write nor any downstream action (metrics, sinks,
+    # error counts) re-invokes the responder — against a paid API a lazy
+    # plan here would mean duplicate spend, and a flaky responder could
+    # return different text per action within one run.
+    fresh = respond(pending.dropDuplicates(["prompt_hash"])).localCheckpoint()
     (
         fresh.where(F.col("finish_reason") == "stop")
         .select("prompt_hash", "generated_text")
@@ -207,13 +224,13 @@ def generate_sync(
         F.lit(None).cast("string").alias("error"),
     )
     # failures surface from the SAME materialization — no second call.
-    # Anti-join vs the refreshed cache: if two examples share one prompt
-    # hash and the responder succeeded for one but failed for the other in
-    # this run, the success was cached and the cache join above ALREADY
-    # serves both examples — emitting the failure row too would return the
-    # same example twice with contradictory status (cache-hash semantics:
-    # one response per distinct prompt, src/gpt/utils.py:64-101).
-    failed = fresh.where(F.col("finish_reason") != "stop").join(
-        cache.select("prompt_hash"), "prompt_hash", "left_anti"
+    # Anti-join vs the refreshed cache guards the edge where a hash both
+    # failed here and (e.g. via a concurrent writer) appears cached: the
+    # cache join above already serves those examples. fan_out then maps the
+    # per-hash failure rows back onto every example sharing the hash.
+    failed = fan_out(
+        fresh.where(F.col("finish_reason") != "stop")
+        .join(cache.select("prompt_hash"), "prompt_hash", "left_anti")
+        .drop("example_id")
     )
     return served.unionByName(failed)

@@ -321,13 +321,13 @@ class TestSyncGenerate:
         assert all(r.generated_text is None and r.error == "finish_reason=length"
                    for r in out2)
 
-    def test_shared_hash_flaky_responder_one_row_per_example(self, spark, tmp_path):
-        """Two examples sharing ONE prompt hash + a responder that fails
-        the first call and succeeds the second: the cached success serves
-        BOTH examples (one response per distinct prompt — reference cache
-        semantics) and the failure row for the now-cached hash is NOT also
-        emitted (pre-fix the example came back twice with contradictory
-        status)."""
+    def test_shared_hash_one_call_per_distinct_prompt(self, spark, tmp_path):
+        """Two examples sharing ONE prompt hash: the responder runs ONCE
+        for the pair (pending is deduplicated by prompt_hash — a duplicate
+        call is duplicate paid API spend, and a nondeterministic responder
+        would race two different texts into the cache), both examples carry
+        the SAME result row, and the rerun retries the shared failure once
+        then serves BOTH examples from the cached success."""
         cache = str(tmp_path / "c")
         log = str(tmp_path / "n.log")
 
@@ -345,15 +345,49 @@ class TestSyncGenerate:
                 F.lit("user").alias("role"),
                 F.lit("same content").alias("content"),
             )).alias("prompt"),
-        ).coalesce(1)  # serialize the two calls through one worker
-        out = syncgen.generate_sync(prompts, flaky, cache_dir=cache).collect()
+        )
+        out1 = syncgen.generate_sync(prompts, flaky, cache_dir=cache).collect()
+        assert len(open(log).read().splitlines()) == 1  # ONE call, 2 examples
+        assert {r.example_id for r in out1} == {"e1", "e2"}
+        assert all(r.finish_reason == "length" and
+                   r.error == "finish_reason=length" for r in out1)
+        out2 = syncgen.generate_sync(prompts, flaky, cache_dir=cache).collect()
+        assert len(open(log).read().splitlines()) == 2  # one retry for the pair
         by_eid = {}
-        for r in out:
+        for r in out2:
             by_eid.setdefault(r.example_id, []).append(r)
         assert set(by_eid) == {"e1", "e2"}
-        assert all(len(v) == 1 for v in by_eid.values()), out  # no dup rows
+        assert all(len(v) == 1 for v in by_eid.values()), out2  # no dup rows
         assert all(v[0].finish_reason == "stop" and v[0].generated_text == "ok"
                    for v in by_eid.values())
+        # run 3: served from cache, no further responder call
+        out3 = syncgen.generate_sync(prompts, flaky, cache_dir=cache).collect()
+        assert len(open(log).read().splitlines()) == 2
+        assert all(r.generated_text == "ok" for r in out3)
+
+    def test_no_cache_path_also_dedups_by_hash(self, spark, tmp_path):
+        """Even without a cache dir, the responder runs once per DISTINCT
+        prompt (4 examples over 2 prompts -> 2 calls on one action), and
+        every example still gets its own output row."""
+        log = str(tmp_path / "calls.log")
+        prompts = spark.createDataFrame(
+            [("e1", "p1"), ("e2", "p1"), ("e3", "p2"), ("e4", "p2")],
+            "example_id string, content string",
+        ).select(
+            "example_id",
+            F.array(F.struct(
+                F.lit("user").alias("role"), F.col("content").alias("content")
+            )).alias("prompt"),
+        )
+        out = syncgen.generate_sync(
+            prompts, _counting_responder(log)).collect()
+        assert len(out) == 4
+        assert len(open(log).read().splitlines()) == 2
+        by_hash = {}
+        for r in out:
+            by_hash.setdefault(r.prompt_hash, set()).add(r.generated_text)
+        assert len(by_hash) == 2
+        assert all(len(texts) == 1 for texts in by_hash.values())
 
     def test_responder_called_once_per_pending_prompt(self, spark, tmp_path):
         """The cache path materializes the responder output ONCE: multiple
@@ -1002,6 +1036,27 @@ class TestDedupSimilarity:
             df, rates, "grp", default_rate=1.0, salt="v2").collect()}
         assert other != again  # salt rotates the sample
 
+    def test_hash_sample_threshold_rounds_float_artifacts(self, spark):
+        """rate=0.3 must use threshold 300000, not the truncated 299999
+        (0.3 * 1e6 = 299999.99999... in float): the sampled set has to
+        agree with an oracle that writes the INTENDED threshold."""
+        from generative_ner_spark.operators import quality as Q
+
+        df = spark.range(5000).select(
+            F.col("id").alias("doc_id"), F.lit("g").alias("grp")
+        )
+        intended = df.where(F.expr(
+            "pmod(cast(conv(substring(md5(concat('sample:', "
+            "cast(doc_id as string))), 1, 15), 16, 10) as long), 1000000)"
+            " < 300000"
+        ))
+        got = df.where(Q.hash_sample_cond("doc_id", 0.3))
+        assert {r.doc_id for r in got.collect()} == \
+               {r.doc_id for r in intended.collect()}
+        strat = Q.stratified_hash_sample(df, {"g": 0.3}, "grp")
+        assert {r.doc_id for r in strat.collect()} == \
+               {r.doc_id for r in intended.collect()}
+
     def test_near_dedup_keeps_one_survivor_per_cluster(self, spark):
         """Fuzzy dedup is COMPONENT-wise, not pair-wise: a near-dup chain
         A~B~C collapses to its min id even when A!~C directly; unrelated
@@ -1437,6 +1492,32 @@ class TestStreaming:
                       for p in q.recentProgress if p["stateOperators"])
         assert dropped >= 1  # f4's late row
         assert removed >= 1  # 10:00-window state evicted when wm crossed it
+
+    def test_lexicon_terms_escaped_and_lowercased(self, spark):
+        """Lexicon hygiene: a metacharacter term ('c++') must neither throw
+        nor silently miss, and an UPPERCASE lexicon key must match the
+        lowercased text. Runs the SAME builder on a static frame (batch
+        no-op watermark) — the replay path q35 relies on."""
+        import datetime as _dt
+
+        from generative_ner_spark.streaming import mentions as sm
+
+        df = spark.createDataFrame(
+            [
+                ("d1", _dt.datetime(2025, 1, 1, 10, 1),
+                 [("text", "we use C++ and c++ at Spark scale", None, 0)]),
+            ],
+            "doc_id string, ingest_ts timestamp, spans array<struct<"
+            "kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        out = sm.windowed_mention_counts_stream(
+            df, {"C++": "LANG", "Spark": "ORG"},
+            window_duration="10 minutes",
+        ).collect()
+        got = {(r.label): r.n_mentions for r in out}
+        assert got == {"LANG": 2, "ORG": 1}, out
+        assert all(r.window_start == _dt.datetime(2025, 1, 1, 10, 0)
+                   for r in out)
 
     def test_streaming_first_seen_dedup_with_ttl(self, spark, tmp_path):
         """applyInPandasWithState dedup: the first occurrence of each text
