@@ -50,6 +50,71 @@ def build_examples(spark, args):
     return examples, golds, None
 
 
+def generate_with_budget(spark, fused_prompts, responder, args, cache_dir,
+                         n_chunks: int = 8):
+    """Incremental cost enforcement (CostChecker parity, src/gpt/cost.py:
+    197-223): the reference charges each response as it arrives and aborts
+    the moment the running total crosses total_cost_limit, bounding
+    overspend to ~one response. The Spark analogue dispatches the prompt
+    set in ``n_chunks`` deterministic hash chunks, charges each chunk at
+    its stage boundary, and stops DISPATCHING once the running total
+    crosses the budget — overspend is bounded by one chunk (~1/n_chunks of
+    the corpus), not the whole run.
+
+    Returns (gens, spent_usd, n_dispatched, n_skipped). Skipped prompts
+    were never sent to the responder (no spend); their examples simply
+    carry no generation rows, exactly like the reference's mid-run abort.
+    """
+    from pyspark.sql import functions as F
+
+    from generative_ner_spark.operators import cost, syncgen
+
+    bucketed = (
+        syncgen.with_sync_prompt_hash(fused_prompts)
+        .withColumn("_chunk", F.pmod(F.xxhash64("prompt_hash"), F.lit(n_chunks)))
+        .select("example_id", "prompt", "_chunk")
+        .persist()
+    )
+    spent = 0.0
+    parts = []
+    n_dispatched = n_skipped = 0
+    for c in range(n_chunks):
+        chunk = bucketed.where(F.col("_chunk") == c).drop("_chunk")
+        n_chunk = chunk.count()
+        if n_chunk == 0:
+            continue
+        if spent >= args.budget_usd:
+            n_skipped += n_chunk
+            continue
+        g = syncgen.generate_sync(
+            chunk, responder, model=args.model,
+            temperature=args.temperature, max_tokens=args.max_tokens,
+            top_p=args.top_p, seed=args.seed, n=args.n, cache_dir=cache_dir,
+        )
+        flat = chunk.select(
+            "example_id",
+            F.concat_ws(
+                "\n", F.transform("prompt", lambda m: m["content"])
+            ).alias("_p"),
+        )
+        gt = g.select(
+            "example_id",
+            F.coalesce("generated_text", F.lit("")).alias("_g"),
+        )
+        spent += cost.total_cost(cost.with_cost_estimate(
+            flat.join(gt, "example_id"), "_p", "_g", model=args.model))
+        parts.append(g)
+        n_dispatched += n_chunk
+    bucketed.unpersist()
+    if parts:
+        gens = parts[0]
+        for p in parts[1:]:
+            gens = gens.unionByName(p)
+    else:
+        gens = spark.createDataFrame([], syncgen._SYNC_SCHEMA)
+    return gens, spent, n_dispatched, n_skipped
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="run_gpt.py, Spark-first")
     ap.add_argument("--config-file", "--config_file", "-c", default=None,
@@ -79,7 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--responder", default=None,
                     help="module:function responder override (production)")
     ap.add_argument("--budget-usd", type=float, default=None,
-                    help="abort like the reference's cost limit (S30)")
+                    help="cost limit (S30): estimate mode aborts up front; "
+                         "generate mode dispatches in hash chunks and STOPS "
+                         "dispatching once the running chars/4-estimate "
+                         "spend crosses the limit (overspend bounded by one "
+                         "chunk), then exits rc=2")
     args = ap.parse_args(argv)
 
     # config supplies defaults (reference parse_args_gpt semantics: YAML is
@@ -185,14 +254,24 @@ def main(argv: list[str] | None = None) -> int:
         responder = getattr(importlib.import_module(mod), fn)
     cache_dir = None if args.mode == "debug" else os.path.join(
         args.output, "response_cache")  # debug never caches (run_gpt.py:258)
-    gens = syncgen.generate_sync(
-        prompts.select("example_id", "label", "prompt")
-        .withColumn("example_id", F.concat_ws("#", "example_id", "label")),
-        responder, model=args.model, temperature=args.temperature,
-        max_tokens=args.max_tokens, top_p=args.top_p, seed=args.seed,
-        n=args.n, cache_dir=cache_dir,
-    ).withColumn("label", F.get(F.split("example_id", "#"), 1)) \
-     .withColumn("example_id", F.get(F.split("example_id", "#"), 0))
+    fused = prompts.select(
+        F.concat_ws("#", "example_id", "label").alias("example_id"), "prompt"
+    )
+    spent = None
+    n_skipped = 0
+    if args.budget_usd is not None and args.mode == "generate":
+        # incremental enforcement: stop dispatching once the running total
+        # crosses the budget (overspend bounded by one chunk, not the run)
+        gens, spent, n_dispatched, n_skipped = generate_with_budget(
+            spark, fused, responder, args, cache_dir)
+    else:
+        gens = syncgen.generate_sync(
+            fused, responder, model=args.model, temperature=args.temperature,
+            max_tokens=args.max_tokens, top_p=args.top_p, seed=args.seed,
+            n=args.n, cache_dir=cache_dir,
+        )
+    gens = gens.withColumn("label", F.get(F.split("example_id", "#"), 1)) \
+               .withColumn("example_id", F.get(F.split("example_id", "#"), 0))
     keyed = prompts.select(
         "example_id", "doc_id", "span_offset", "text",
         F.coalesce("label", F.lit("")).alias("label"),
@@ -228,28 +307,32 @@ def main(argv: list[str] | None = None) -> int:
         .write.mode("overwrite").parquet(preds_path)
     )
     n_err = keyed.where(F.col("finish_reason") != "stop").count()
-    # CostChecker parity (src/gpt/cost.py:197-223): the reference charges
-    # each response as it arrives and aborts at the limit; Spark's stage
-    # equivalent charges the whole generation stage at its boundary — the
-    # job fails (rc=2) once spend reaches the budget, same net behavior
-    # (spend happens, then the run stops).
-    flat = prompts.select(
-        "example_id",
-        F.coalesce("label", F.lit("")).alias("label"),
-        F.concat_ws(
-            "\n", F.transform("prompt", lambda m: m["content"])
-        ).alias("_p"),
-    )
-    gen_txt = gens.withColumn("label", F.coalesce("label", F.lit(""))).select(
-        "example_id", "label",
-        F.coalesce("generated_text", F.lit("")).alias("_g"),
-    )
-    actual = cost.total_cost(cost.with_cost_estimate(
-        flat.join(gen_txt, ["example_id", "label"]), "_p", "_g",
-        model=args.model,
-    ))
+    if spent is not None:
+        # budget path: the per-chunk running total IS the actual spend
+        # (generate_with_budget charged each chunk at its stage boundary)
+        actual = spent
+    else:
+        flat = prompts.select(
+            "example_id",
+            F.coalesce("label", F.lit("")).alias("label"),
+            F.concat_ws(
+                "\n", F.transform("prompt", lambda m: m["content"])
+            ).alias("_p"),
+        )
+        gen_txt = gens.withColumn(
+            "label", F.coalesce("label", F.lit(""))
+        ).select(
+            "example_id", "label",
+            F.coalesce("generated_text", F.lit("")).alias("_g"),
+        )
+        actual = cost.total_cost(cost.with_cost_estimate(
+            flat.join(gen_txt, ["example_id", "label"]), "_p", "_g",
+            model=args.model,
+        ))
     out = {"mode": "generate", "metrics": metrics, "predictions": preds_path,
            "generation_errors": n_err, "actual_usd": round(actual, 6)}
+    if n_skipped:
+        out["skipped_prompts"] = n_skipped  # never dispatched: no spend
     if args.budget_usd is not None and actual >= args.budget_usd:
         out["budget_exceeded"] = True
         print(json.dumps(out))

@@ -643,6 +643,19 @@ class TestRunGptCli:
             capsys)
         assert rc == 2 and out[-1]["budget_exceeded"]
         assert out[-1]["actual_usd"] > 0
+        # INCREMENTAL enforcement: dispatch stops after the chunk that
+        # crossed the limit — most prompts were never sent (no spend), so
+        # the response cache holds strictly fewer hashes than prompts
+        assert out[-1]["skipped_prompts"] > 0
+        import pyspark.sql as _sql
+
+        spark2 = _sql.SparkSession.getActiveSession() or spark
+        cached = spark2.read.parquet(
+            str(tmp_path / "gb" / "response_cache")).count()
+        n_prompts = self._run(
+            ["--mode", "estimate", "--input", "synth:10",
+             "--output", str(tmp_path / "gb_est")], capsys)[1][0]["prompts"]
+        assert cached < n_prompts, (cached, n_prompts)
         rc2, out2 = self._run(
             ["--mode", "generate", "--input", "synth:10",
              "--budget-usd", "100.0", "--output", str(tmp_path / "gb2")],
