@@ -271,7 +271,10 @@ def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.simhash_near_dup_pairs(
-        d.unionByName(mutated), max_hamming=3, hash_family="md5"
+        d.unionByName(mutated), max_hamming=3, hash_family="md5",
+        # cap lifted so the output is the pure pigeonhole pair set the
+        # oracle replays; the hot-bucket cap is exercised by its own test
+        max_bucket=1 << 30,
     ).orderBy("a", "b")
 
 
@@ -322,6 +325,9 @@ def q25_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.embedding_near_dup_pairs(
             em.unionByName(copies), dim=64, cosine_threshold=0.99,
             tables=8, planes=8,
+            # cap lifted so the output is the pure LSH-blocked pair set
+            # the oracle replays; the cap is exercised by its own test
+            max_bucket=1 << 30,
         )
         .select("a", "b", "cosine")
         .orderBy("a", "b")

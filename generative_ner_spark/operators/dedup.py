@@ -174,17 +174,32 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket: int = 256,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4 equal-width chunks): docs within
     Hamming distance <= max_hamming share at least one identical chunk when
     max_hamming <= 3 (pigeonhole), so candidate recall is exact — the
     banding output EQUALS the brute-force hamming<=3 pair set, which is
-    what the md5-family DuckDB oracle replays."""
+    what the md5-family DuckDB oracle replays (with the cap lifted).
+
+    ``max_bucket`` bounds the self-join blowup on pathological buckets:
+    a degenerate corpus (boilerplate chunks, near-identical token mixes)
+    can put millions of docs into ONE 16-bit chunk bucket, making the
+    in-bucket pair generation quadratic. Buckets above the cap are skipped
+    (bounded recall loss on exactly the buckets whose pairs would be
+    mostly-duplicate anyway); pass ``metrics`` (a dict) to receive
+    {"capped_buckets", "capped_rows"} — the same contract as
+    canonicalize.lsh_candidate_pairs."""
     width = simhash_width(hash_family)
     chunk_bits = width // 4
     chunk_mask = (1 << chunk_bits) - 1
+    # signatures feed three plan branches (bucket counts + both join
+    # sides): persist so the 64-aggregate signature pass runs ONCE, and
+    # eagerly materialize the pair set below before unpersisting — the
+    # same lifecycle as canonicalize.lsh_candidate_pairs
     sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col,
-                      hash_family=hash_family)
+                      hash_family=hash_family).select("id", "simhash").persist()
     chunks = sh.select(
         "id",
         "simhash",
@@ -197,9 +212,24 @@ def simhash_near_dup_pairs(
             ])
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.select(F.col("chunk_idx"), F.col("chunk"),
+    bucket_counts = chunks.groupBy("chunk_idx", "chunk").agg(
+        F.count("*").alias("_bc"))
+    if metrics is not None:
+        over = (
+            bucket_counts.where(F.col("_bc") > max_bucket)
+            .agg(F.count("*").alias("b"),
+                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
+            .first()
+        )
+        metrics["capped_buckets"] = over["b"]
+        metrics["capped_rows"] = int(over["r"])
+    capped = chunks.join(
+        bucket_counts.where(F.col("_bc") <= max_bucket),
+        ["chunk_idx", "chunk"],
+    )
+    a = capped.select(F.col("chunk_idx"), F.col("chunk"),
                       F.col("id").alias("a"), F.col("simhash").alias("sh_a"))
-    b = chunks.select(F.col("chunk_idx"), F.col("chunk"),
+    b = capped.select(F.col("chunk_idx"), F.col("chunk"),
                       F.col("id").alias("b"), F.col("simhash").alias("sh_b"))
     pairs = (
         a.join(b, ["chunk_idx", "chunk"])
@@ -209,6 +239,8 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    pairs = pairs.localCheckpoint()  # eager: materialize pairs once
+    sh.unpersist()
     return pairs
 
 

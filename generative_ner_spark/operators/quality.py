@@ -263,8 +263,13 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
                 F.col("bc").alias("top_bigram_count"))
     )
 
+    # the final joins carry only (doc_id, length): shipping the full text
+    # through two exchanges to feed ONE F.length() would shuffle the whole
+    # corpus text at scale — the length is projected (and the text dropped)
+    # BEFORE any join; the lines/bigram pipelines consumed the text upstream
+    lens = base.select("doc_id", F.length("_t").alias("_tlen"))
     return (
-        base.join(line_stats, "doc_id", "left")
+        lens.join(line_stats, "doc_id", "left")
         .join(top, "doc_id", "left")
         .select(
             "doc_id",
@@ -280,7 +285,7 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
             F.round(
                 F.coalesce(
                     F.col("top_bigram_count") * F.length("top_bigram")
-                    / F.greatest(F.length("_t"), F.lit(1)),
+                    / F.greatest(F.col("_tlen"), F.lit(1)),
                     F.lit(0.0),
                 ),
                 6,

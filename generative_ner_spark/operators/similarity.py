@@ -420,6 +420,97 @@ def lsh_bucketed_topk(
 
 
 @dataclass
+class WrittenLshIndex:
+    """A written (partition-pruned) LSH index — see write_lsh_index."""
+
+    df: DataFrame
+    dim: int
+    tables: int
+    planes: int
+    id_col: str
+    vec_col: str
+
+
+def write_lsh_index(index: LshIndex, path: str) -> None:
+    """Persist the LSH index for PARTITION-PRUNED single probes.
+
+    The in-memory probe's OR-of-equalities filter over the ``_bk`` array
+    is row-level: every probe scans every index file (column-pruned but
+    not partition-pruned). A written table at 10^12 rows must prune FILES,
+    so the index is written EXPLODED by table — rows (lsh_table, bucket,
+    id, vec), parquet ``partitionBy(lsh_table, bucket)``. Storage is
+    x ``tables`` (the standard at-scale LSH trade: one bucketed copy per
+    table — same shape Faiss/Annoy-style sharded LSH tables use); a probe
+    then reads exactly ``tables`` (table, bucket) directories. Keep
+    ``planes`` modest for written indexes (tables x 2^planes directories).
+
+    A JSON manifest carries (dim, tables, planes, columns) so a later
+    session probes without re-bucketing the corpus.
+    """
+    import json
+    import os
+
+    exploded = index.df.select(
+        index.id_col, index.vec_col,
+        F.posexplode("_bk").alias("lsh_table", "bucket"),
+    )
+    exploded.write.partitionBy("lsh_table", "bucket").mode(
+        "overwrite").parquet(path)
+    manifest = {
+        "dim": index.dim,
+        "tables": index.tables,
+        "planes": index.planes,
+        "id_col": index.id_col,
+        "vec_col": index.vec_col,
+    }
+    with open(os.path.join(path, "_lsh_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_lsh_index(spark, path: str) -> WrittenLshIndex:
+    """Reload a written LSH index (see write_lsh_index). The partition
+    columns (lsh_table, bucket) come back from the directory layout, so
+    probe filters prune at the FILE level."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_manifest.json")) as f:
+        m = json.load(f)
+    return WrittenLshIndex(
+        spark.read.parquet(path), m["dim"], m["tables"], m["planes"],
+        m["id_col"], m["vec_col"],
+    )
+
+
+def probe_written_lsh_index(windex: WrittenLshIndex, query: list[float],
+                            k: int = 10) -> DataFrame:
+    """Partition-pruned single probe: the query's per-table buckets are
+    computed driver-side; the filter is an OR of (lsh_table, bucket)
+    conjunctions over the PARTITION columns, so the scan touches exactly
+    ``tables`` directories of the written index regardless of corpus
+    size. Candidates dedup on id (a vector can collide in several
+    tables), then exact cosine re-rank, TakeOrderedAndProject top-k."""
+    qb = _query_buckets(query, windex.dim, windex.tables, windex.planes)
+    collide = None
+    for t in range(windex.tables):
+        cond = (F.col("lsh_table") == t) & (F.col("bucket") == F.lit(qb[t]))
+        collide = cond if collide is None else (collide | cond)
+    cand = (
+        windex.df.where(collide)
+        .select(windex.id_col, windex.vec_col)
+        .dropDuplicates([windex.id_col])
+    )
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(
+        F.col(windex.id_col),
+        F.round(cosine_col(F.col(windex.vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col(windex.id_col).asc()
+    ).limit(k)
+
+
+@dataclass
 class IvfIndex:
     """IVF (inverted-file) ANN index: rows partitioned by nearest coarse
     centroid. ``df`` holds (id, vec, _cell int); ``centroids`` is the
@@ -631,6 +722,8 @@ def embedding_near_dup_pairs(
     planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 256,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify.
 
@@ -640,20 +733,47 @@ def embedding_near_dup_pairs(
     Vectors are re-attached per-id for the exact cosine verify on the
     (few) candidate pairs. The identical left/right subplans collapse into
     one ReusedExchange, so the bucketing UDF runs once.
+
+    ``max_bucket`` caps pathological buckets before the self-join: a
+    degenerate corpus (zero-ish vectors sharing one sign pattern) can put
+    millions of ids into a single (table, bucket), making pair generation
+    quadratic. Buckets above the cap are skipped; pass ``metrics`` (a
+    dict) to receive {"capped_buckets", "capped_rows"} — the same contract
+    as canonicalize.lsh_candidate_pairs.
     """
     vecs = embeddings.select(F.col(id_col).alias("_id"),
                              F.col(vec_col).alias("_vec"))
+    # banding rows feed three plan branches (bucket counts + both join
+    # sides): persist so the Arrow bucketing UDF runs ONCE, and eagerly
+    # materialize the candidate pairs below before unpersisting
     b = with_lsh_buckets(
         embeddings.select(id_col, vec_col), dim, tables, planes, vec_col
+    ).select("lsh_table", "bucket", id_col).persist()
+    bucket_counts = b.groupBy("lsh_table", "bucket").agg(
+        F.count("*").alias("_bc"))
+    if metrics is not None:
+        over = (
+            bucket_counts.where(F.col("_bc") > max_bucket)
+            .agg(F.count("*").alias("b"),
+                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
+            .first()
+        )
+        metrics["capped_buckets"] = over["b"]
+        metrics["capped_rows"] = int(over["r"])
+    capped = b.join(
+        bucket_counts.where(F.col("_bc") <= max_bucket),
+        ["lsh_table", "bucket"],
     ).select("lsh_table", "bucket", id_col)
-    left = b.select("lsh_table", "bucket", F.col(id_col).alias("a"))
-    right = b.select("lsh_table", "bucket", F.col(id_col).alias("b"))
+    left = capped.select("lsh_table", "bucket", F.col(id_col).alias("a"))
+    right = capped.select("lsh_table", "bucket", F.col(id_col).alias("b"))
     pairs = (
         left.join(right, ["lsh_table", "bucket"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    pairs = pairs.localCheckpoint()  # eager: materialize candidates once
+    b.unpersist()
     return (
         pairs
         .join(vecs.select(F.col("_id").alias("a"), F.col("_vec").alias("va")), "a")

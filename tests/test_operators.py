@@ -997,6 +997,41 @@ class TestDedupSimilarity:
         assert got.get((1, 2)) == 0
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_simhash_hot_bucket_cap_reports_metric(self, spark):
+        """A degenerate corpus (identical token mix -> identical chunks)
+        puts every doc in one bucket per chunk_idx: max_bucket drops those
+        buckets (bounding the otherwise-quadratic self-join) and a metrics
+        dict REPORTS the loss, mirroring lsh_candidate_pairs' contract."""
+        rows = [(i, "boilerplate footer text repeated verbatim")
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        metrics = {}
+        pairs = dedup.simhash_near_dup_pairs(
+            df, max_bucket=10, metrics=metrics)
+        assert pairs.count() == 0  # every bucket hot -> all capped
+        assert metrics["capped_buckets"] == 4  # one per chunk_idx
+        assert metrics["capped_rows"] == 240  # 60 docs x 4 chunks
+        # with the cap above the bucket size the full pair set comes back
+        assert dedup.simhash_near_dup_pairs(
+            df, max_bucket=60).count() == 60 * 59 // 2
+
+    def test_embedding_hot_bucket_cap_reports_metric(self, spark):
+        """Zero-ish vectors sharing one sign pattern land in one bucket
+        per table: max_bucket bounds the pair blowup and reports it."""
+        from generative_ner_spark.operators import similarity as S
+
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        metrics = {}
+        pairs = S.embedding_near_dup_pairs(
+            df, dim=4, tables=3, planes=4, max_bucket=10, metrics=metrics)
+        assert pairs.count() == 0
+        assert metrics["capped_buckets"] == 3  # one hot bucket per table
+        assert metrics["capped_rows"] == 150  # 50 vecs x 3 tables
+        assert S.embedding_near_dup_pairs(
+            df, dim=4, tables=3, planes=4, max_bucket=50,
+            cosine_threshold=0.99).count() == 50 * 49 // 2
+
     def test_repetition_features(self, spark):
         """Gopher-style repetition signals on hand-built docs: dup-line
         fractions, bigram tie-break (count desc, bigram asc), empty text,
@@ -1025,6 +1060,29 @@ class TestDedupSimilarity:
         r4 = out[4]
         assert (r4.top_bigram, r4.top_bigram_count) == ("w w", 3)
         assert r4.top_bigram_char_frac == round(9 / 7, 6)  # signal > 1
+
+    def test_repetition_joins_carry_no_text(self, spark):
+        """Scale pin: the final doc_id joins must NOT ship the document
+        text — only its pre-projected length feeds the coverage ratio. At
+        100 TB carrying the text through two exchanges for one F.length()
+        would shuffle the whole corpus."""
+        from generative_ner_spark.operators import quality as Q
+
+        df = spark.createDataFrame(
+            [(1, "aa bb\naa bb"), (2, "xx yy")], "doc_id long, text string")
+        plan = Q.repetition_features(df)._jdf.queryExecution().optimizedPlan()
+
+        def walk(node):
+            yield node
+            for i in range(node.children().length()):
+                yield from walk(node.children().apply(i))
+
+        joins = [n for n in walk(plan) if n.nodeName() == "Join"]
+        assert joins, "expected the doc_id stat joins in the plan"
+        for j in joins:
+            outs = [j.output().apply(i).name()
+                    for i in range(j.output().length())]
+            assert "_t" not in outs and "text" not in outs, outs
 
     def test_stratified_hash_sample(self, spark):
         """Deterministic per-group downsampling: rates land near target,
@@ -1215,6 +1273,51 @@ class TestDedupSimilarity:
         all_files = set(glob.glob(p + "/_cell=*/*.parquet"))
         assert 0 < len(read_files) < len(all_files)
         assert all(any(f"_cell={c}/" in f for c in cells) for f in read_files)
+
+    def test_written_lsh_index_partition_pruned_probe(self, spark, tmp_path):
+        """The LSH index written exploded-by-table, partitionBy(lsh_table,
+        bucket), gives single probes that prune at the FILE level — the
+        probe reads exactly the query's `tables` (table,bucket) dirs, not
+        the whole index (the in-memory probe's OR-filter is row-level and
+        scans every file) — and returns the same top-k as the in-memory
+        probe."""
+        import glob
+        import random
+
+        rng = random.Random(23)
+        q = [rng.gauss(0, 1) for _ in range(16)]
+        rows = [(i, [x + rng.gauss(0, 0.05) for x in q]) for i in range(5)]
+        rows += [(50 + i, [rng.gauss(0, 1) for _ in range(16)])
+                 for i in range(120)]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = similarity.build_lsh_index(em, dim=16, tables=4, planes=5)
+        fresh = [(r.vec_id, r.cosine) for r in
+                 similarity.probe_lsh_index(idx, q, k=5).collect()]
+        p = str(tmp_path / "lsh")
+        similarity.write_lsh_index(idx, p)
+        windex = similarity.read_lsh_index(spark, p)
+        assert (windex.dim, windex.tables, windex.planes) == (16, 4, 5)
+        probe = similarity.probe_written_lsh_index(windex, q, k=5)
+        assert [(r.vec_id, r.cosine) for r in probe.collect()] == fresh
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "lsh_table" in plan
+        # FILE-level pruning evidence: the probed scan touches only the
+        # query's (table,bucket) directories — strictly fewer files
+        qb = similarity._query_buckets(q, 16, 4, 5)
+        collide = None
+        for t in range(4):
+            c = (F.col("lsh_table") == t) & (F.col("bucket") == qb[t])
+            collide = c if collide is None else (collide | c)
+        read_files = {
+            r[0] for r in windex.df.where(collide)
+            .select(F.input_file_name()).distinct().collect()
+        }
+        all_files = set(glob.glob(p + "/lsh_table=*/bucket=*/*.parquet"))
+        assert 0 < len(read_files) < len(all_files)
+        assert all(
+            any(f"lsh_table={t}/bucket={qb[t]}/" in f for t in range(4))
+            for f in read_files
+        )
 
     def test_batch_probes_match_single_probes(self, spark):
         """probe_lsh_index_many / probe_ivf_index_many (the broadcast-join
