@@ -599,6 +599,79 @@ def q34_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ts_docs(spark: SparkSession, sf_dir: str,
+             dup_first_n: int = 0) -> DataFrame:
+    """Deterministic interleaved docs with event time for the streaming
+    replays: each flat document becomes one text-span doc with
+    ingest_ts = 2025-01-01 00:00 + (doc_id % 240) minutes (24 ten-minute
+    windows over 4 h). With ``dup_first_n``, byte-identical copies of the
+    first n docs are re-emitted ONE HOUR later under 'dup-' ids — always
+    strictly after their originals, so first-seen dedup must suppress
+    exactly them."""
+    flat = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    span = F.array(F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )).alias("spans")
+    base_ts = "timestamp'2025-01-01 00:00:00'"
+    docs = flat.select(
+        F.concat(F.lit("tdoc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.expr(f"{base_ts} + make_interval(0, 0, 0, 0, 0, "
+               f"cast(doc_id % 240 as int), 0)").alias("ingest_ts"),
+        span,
+    )
+    if dup_first_n:
+        dups = flat.where(F.col("doc_id") < dup_first_n).select(
+            F.concat(F.lit("dup-"), F.col("doc_id").cast("string")).alias("doc_id"),
+            F.expr(f"{base_ts} + make_interval(0, 0, 0, 0, 1, "
+                   f"cast(doc_id % 240 as int), 0)").alias("ingest_ts"),
+            span,
+        )
+        docs = docs.unionByName(dups)
+    return docs
+
+
+def q35_windowed_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the STREAMING stateful windowed mention-count stage:
+    the SAME builder (streaming/mentions.py windowed_mention_counts_stream
+    — lexicon regex extraction, tumbling 10-minute window, sum) runs on a
+    static frame (withWatermark is a no-op on batch), which puts the
+    window/mention semantics under the DuckDB oracle. The streaming-only
+    semantics (watermark eviction, late-row drop) are pinned by the
+    streaming pytest suite."""
+    from generative_ner_spark.plans.testdata_kg import LEXICON
+    from generative_ner_spark.streaming import mentions as sm
+
+    out = sm.windowed_mention_counts_stream(
+        _ts_docs(spark, sf_dir), LEXICON, window_duration="10 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "label",
+        "n_mentions",
+    ).orderBy("window_start", "label")
+
+
+def q36_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING first-seen dedup (shared fingerprint
+    derivation — streaming/mentions.py _fingerprinted): the corpus is
+    salted with hour-late byte-identical copies of the first 50 docs; the
+    operator must keep exactly the earliest (ingest_ts, doc_id) row per
+    fingerprint. TTL expiry/re-emission is streaming-only and pinned in
+    pytest."""
+    from generative_ner_spark.streaming import mentions as sm
+
+    out = sm.first_seen_dedup_batch_replay(
+        _ts_docs(spark, sf_dir, dup_first_n=50))
+    return out.select(
+        "fingerprint",
+        "doc_id",
+        F.date_format("ingest_ts", "yyyy-MM-dd HH:mm:ss").alias("ingest_ts"),
+    ).orderBy("fingerprint", "doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -691,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_knn_join_topk": q32_knn_join_topk,
         "q33_repetition_features": q33_repetition_features,
         "q34_stratified_sample": q34_stratified_sample,
+        "q35_windowed_mention_counts": q35_windowed_mention_counts,
+        "q36_first_seen_dedup": q36_first_seen_dedup,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -927,6 +1002,69 @@ def _mention_counts_sql() -> str:
         f"SELECT doc_id, label, CAST(SUM(n) AS BIGINT) AS n_mentions FROM ({union}) "
         f"GROUP BY doc_id, label ORDER BY doc_id, label"
     )
+
+
+def _windowed_counts_sql() -> str:
+    """q35 oracle: replay the streaming windowed mention-count stage —
+    whole-word lexicon hits per doc, tumbling 10-minute event-time
+    windows, per-(window, label) sums. time_bucket == Spark's window()
+    start for zero-aligned tumbling windows."""
+    from generative_ner_spark.plans.testdata_kg import LEXICON
+
+    vals = ", ".join(f"('{t}', '{lb}')" for t, lb in sorted(LEXICON.items()))
+    return f"""
+        WITH docs AS (
+            SELECT TIMESTAMP '2025-01-01 00:00:00'
+                   + (doc_id % 240) * INTERVAL 1 MINUTE AS ts,
+                   lower(text) AS t
+            FROM documents
+        ),
+        hits AS (
+            SELECT ts, label,
+                   len(regexp_extract_all(t, '\\b' || term || '\\b', 0)) AS n
+            FROM docs, (VALUES {vals}) AS lex(term, label)
+        ),
+        agg AS (
+            SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws, label,
+                   CAST(SUM(n) AS BIGINT) AS n_mentions
+            FROM hits WHERE n > 0 GROUP BY ws, label
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(ws + INTERVAL 10 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               label, n_mentions
+        FROM agg ORDER BY window_start, label"""
+
+
+def _first_seen_dedup_sql() -> str:
+    """q36 oracle: replay the first-seen dedup batch twin — the corpus +
+    hour-late 'dup-' copies of the first 50 docs, fingerprint = md5 of
+    the normalized text, earliest (ts, doc_id) per fingerprint wins."""
+    return f"""
+        WITH base AS (
+            SELECT 'tdoc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                   + (doc_id % 240) * INTERVAL 1 MINUTE AS ts,
+                   text
+            FROM documents
+            UNION ALL
+            SELECT 'dup-' || CAST(doc_id AS VARCHAR),
+                   TIMESTAMP '2025-01-01 00:00:00' + INTERVAL 1 HOUR
+                   + (doc_id % 240) * INTERVAL 1 MINUTE,
+                   text
+            FROM documents WHERE doc_id < 50
+        ),
+        fp AS (
+            SELECT doc_id, ts, md5({_NORM_SQL}) AS fingerprint FROM base
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                         ORDER BY ts, doc_id) AS rn
+            FROM fp
+        )
+        SELECT fingerprint, doc_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ingest_ts
+        FROM r WHERE rn = 1 ORDER BY fingerprint, doc_id"""
 
 
 def _triples_sql() -> str:
@@ -1282,6 +1420,8 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE 1000000 END
             ORDER BY doc_id""",
         "q18_ann_lsh_topk": _lsh_ann_sql(dim=64, tables=8, planes=6, k=10),
+        "q35_windowed_mention_counts": _windowed_counts_sql(),
+        "q36_first_seen_dedup": _first_seen_dedup_sql(),
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,
                                                     shingle_n=5, threshold=0.8),

@@ -156,6 +156,43 @@ def windowed_mention_counts_stream(
     )
 
 
+def _fingerprinted(docs: DataFrame, ts_col: str) -> DataFrame:
+    """Shared key derivation for the dedup stage and its batch replay:
+    (doc_id, ingest_ts, fingerprint = md5 of the normalized concatenated
+    text spans — the SAME key the batch exact-dedup operator uses)."""
+    from generative_ner_spark.operators.quality import fingerprint_col
+
+    return docs.select(
+        "doc_id",
+        F.col(ts_col).alias("ingest_ts"),
+        F.expr(
+            "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
+            " s -> s.text))"
+        ).alias("text"),
+    ).withColumn("fingerprint", fingerprint_col("text"))
+
+
+def first_seen_dedup_batch_replay(docs: DataFrame,
+                                  ts_col: str = "ingest_ts") -> DataFrame:
+    """Deterministic BATCH twin of streaming_first_seen_dedup: same
+    fingerprint key (via the shared ``_fingerprinted`` derivation), same
+    output schema, first (ingest_ts, doc_id) occurrence per fingerprint
+    survives. This puts the dedup KEY and selection semantics under the
+    DuckDB driver oracle (q36); the streaming-only parts — TTL state
+    expiry and re-emission after timeout — are pinned by the streaming
+    pytest suite (they need iterative session logic SQL can't express
+    without recursion)."""
+    from pyspark.sql import Window
+
+    flat = _fingerprinted(docs, ts_col)
+    w = Window.partitionBy("fingerprint").orderBy("ingest_ts", "doc_id")
+    return (
+        flat.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("fingerprint", "doc_id", "ingest_ts")
+    )
+
+
 def streaming_first_seen_dedup(
     docs_stream: DataFrame,
     ts_col: str = "ingest_ts",
@@ -181,20 +218,8 @@ def streaming_first_seen_dedup(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from generative_ner_spark.operators.quality import fingerprint_col
-
-    flat = (
-        docs_stream.select(
-            "doc_id",
-            F.col(ts_col).alias("ingest_ts"),
-            F.expr(
-                "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
-                " s -> s.text))"
-            ).alias("text"),
-        )
-        .withColumn("fingerprint", fingerprint_col("text"))
-        .withWatermark("ingest_ts", watermark_delay)
-    )
+    flat = _fingerprinted(docs_stream, ts_col).withWatermark(
+        "ingest_ts", watermark_delay)
     ttl_ms = dedup_ttl_minutes * 60_000
 
     def fn(key, pdfs, state):
