@@ -672,6 +672,76 @@ def q36_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fingerprint", "doc_id")
 
 
+_PII_SALTS = [
+    " contact john.doe@example.com or jane_smith+tag@mail.co now",
+    " server at 10.0.0.1 and 192.168.255.12 port",
+    " call +1 555 123 4567 today",
+]
+
+
+def _pii_salted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII strings appended to doc_id%5 in
+    {0,1,2} (the raw testdata carries no PII): emails / IPs / a phone."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(_PII_SALTS[0])))
+        .when(F.col("doc_id") % 5 == 1, F.concat("text", F.lit(_PII_SALTS[1])))
+        .when(F.col("doc_id") % 5 == 2, F.concat("text", F.lit(_PII_SALTS[2])))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q37_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py): per-doc email/IP/
+    phone counts and the redacted-text length (proves the replacement
+    ran), over the deterministically PII-salted corpus. Patterns live in
+    the Java-regex/RE2 common subset, so the DuckDB oracle replays counts
+    AND redaction byte-for-byte."""
+    from generative_ner_spark.operators import pii
+
+    red = pii.redact_pii(pii.with_pii_features(_pii_salted_docs(spark, sf_dir)))
+    return red.select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "has_pii",
+        F.length("redacted").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/decontam.py): docs with
+    doc_id%97==0 form the eval set; the corpus is everything else PLUS a
+    planted contaminated twin per eval doc (its first 200 chars, id
+    +2000000) — the report must surface at least every twin. Broadcast
+    eval n-grams; the corpus never shuffles before the per-doc agg."""
+    from generative_ner_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = d.where("doc_id % 97 = 0")
+    corpus = d.where("doc_id % 97 != 0").unionByName(
+        eval_df.select(
+            (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+            F.expr("substring(text, 1, 200)").alias("text"),
+        )
+    )
+    return decontam.contamination_report(corpus, eval_df, n=8).orderBy(
+        "doc_id")
+
+
+def q39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard-parallel sequence packing (operators/
+    packing.py): documents -> (shard, bin) training sequences of 500
+    whitespace tokens, md5 stream order — the layout is a pure function
+    of (doc ids, salt), so the DuckDB oracle replays shard, order and
+    bin assignment exactly."""
+    from generative_ner_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing.packing_report(
+        d, token_budget=500, shards=8
+    ).orderBy("shard", "bin")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -766,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_stratified_sample": q34_stratified_sample,
         "q35_windowed_mention_counts": q35_windowed_mention_counts,
         "q36_first_seen_dedup": q36_first_seen_dedup,
+        "q37_pii_redaction": q37_pii_redaction,
+        "q38_decontamination": q38_decontamination,
+        "q39_sequence_packing": q39_sequence_packing,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1065,6 +1138,103 @@ def _first_seen_dedup_sql() -> str:
         SELECT fingerprint, doc_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ingest_ts
         FROM r WHERE rn = 1 ORDER BY fingerprint, doc_id"""
+
+
+def _pii_sql() -> str:
+    """q37 oracle: replay PII salting, counts, and the chained redaction."""
+    from generative_ner_spark.operators.pii import PII_PATTERNS
+
+    salted = f"""
+        SELECT doc_id,
+               CASE doc_id % 5
+                   WHEN 0 THEN text || '{_PII_SALTS[0]}'
+                   WHEN 1 THEN text || '{_PII_SALTS[1]}'
+                   WHEN 2 THEN text || '{_PII_SALTS[2]}'
+                   ELSE text
+               END AS text
+        FROM documents"""
+    red = "text"
+    for pat, placeholder in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    counts = {
+        name: f"len(regexp_extract_all(text, '{pat}', 0))"
+        for name, (pat, _ph) in PII_PATTERNS.items()
+    }
+    return f"""
+        WITH docs AS ({salted})
+        SELECT doc_id,
+               {counts['email']} AS n_emails,
+               {counts['ip']} AS n_ips,
+               {counts['phone']} AS n_phones,
+               ({counts['email']} + {counts['ip']} + {counts['phone']}) > 0
+                   AS has_pii,
+               length({red}) AS redacted_len
+        FROM docs ORDER BY doc_id"""
+
+
+def _decontam_sql(n: int = 8) -> str:
+    """q38 oracle: replay eval/corpus split + planted twins + distinct
+    word n-gram overlap report."""
+    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "x -> x != '')")
+    return f"""
+        WITH eval_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+            UNION ALL
+            SELECT doc_id + 2000000, substring(text, 1, 200) FROM eval_docs
+        ),
+        ev_grams AS (
+            SELECT DISTINCT eval_id,
+                   array_to_string(tk[i : i + {n - 1}], ' ') AS ngram
+            FROM (SELECT doc_id AS eval_id, tk,
+                         unnest(generate_series(1, len(tk) - {n - 1})) AS i
+                  FROM (SELECT doc_id, {toks} AS tk FROM eval_docs)
+                  WHERE len(tk) >= {n})
+        ),
+        co_grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(tk[i : i + {n - 1}], ' ') AS ngram
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {n - 1})) AS i
+                  FROM (SELECT doc_id, {toks} AS tk FROM corpus)
+                  WHERE len(tk) >= {n})
+        )
+        SELECT c.doc_id,
+               CAST(count(DISTINCT c.ngram) AS BIGINT) AS n_overlap_ngrams,
+               CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs_hit
+        FROM co_grams c JOIN ev_grams e USING (ngram)
+        GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
+def _packing_sql(token_budget: int = 500, shards: int = 8,
+                 salt: str = "pack") -> str:
+    """q39 oracle: replay md5 shard + stream order + cumulative-sum bin
+    assignment + the per-(shard, bin) layout aggregate."""
+    key = f"'{salt}:' || CAST(doc_id AS VARCHAR)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_WS_TOKENS_SQL} AS n_tokens,
+                   CAST('0x' || substring(md5({key}), 1, 15) AS BIGINT)
+                       % {shards} AS shard,
+                   md5({key}) AS okey
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                            ORDER BY okey ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / {token_budget}) AS BIGINT) AS bin,
+                   n_tokens
+            FROM toks
+        )
+        SELECT shard, bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM packed GROUP BY shard, bin ORDER BY shard, bin"""
 
 
 def _triples_sql() -> str:
@@ -1422,6 +1592,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_ann_lsh_topk": _lsh_ann_sql(dim=64, tables=8, planes=6, k=10),
         "q35_windowed_mention_counts": _windowed_counts_sql(),
         "q36_first_seen_dedup": _first_seen_dedup_sql(),
+        "q37_pii_redaction": _pii_sql(),
+        "q38_decontamination": _decontam_sql(n=8),
+        "q39_sequence_packing": _packing_sql(token_budget=500, shards=8),
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,
                                                     shingle_n=5, threshold=0.8),

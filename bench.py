@@ -46,6 +46,9 @@ HEADLINE = [
     "q34_stratified_sample",
     "q35_windowed_mention_counts",
     "q36_first_seen_dedup",
+    "q37_pii_redaction",
+    "q38_decontamination",
+    "q39_sequence_packing",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -1,0 +1,80 @@
+"""Benchmark decontamination: flag training documents that share long
+word n-grams with an evaluation set (the GPT-3/PaLM-style 8-gram to
+13-gram overlap check — a training corpus that contains eval text
+invalidates the benchmark).
+
+Distributed shape, sized for "100 TB corpus vs megabyte eval set":
+
+* the EVAL side (benchmarks are thousands of documents, not billions) is
+  reduced to its distinct n-grams and BROADCAST — the corpus never
+  shuffles; the corpus side is one narrow explode -> broadcast-hash-join
+  per document, so the whole check is a single map-side pass over the
+  corpus scan;
+* n-gram construction is a single ``transform(sequence(...))`` lambda
+  over the token array (O(1) expression tree — an unrolled per-position
+  concat tree would cost driver-side Catalyst/janino seconds, see
+  CLAUDE.md) — fully SQL-expressible, so q38 carries a complete DuckDB
+  oracle;
+* the report aggregates per corpus doc on the uniform doc id — skew-free
+  map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 8) -> DataFrame:
+    """Distinct lowercased word n-grams per doc: (id, ngram)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    grams = (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.expr(grams)).alias("ngram"))
+        .dropDuplicates(["id", "ngram"])
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per contaminated corpus doc: (doc_id, n_overlap_ngrams,
+    n_eval_docs_hit) — how many distinct eval n-grams it contains and how
+    many distinct eval documents those n-grams came from. Docs with zero
+    overlap are absent (the common case; at corpus scale the report is
+    tiny)."""
+    ev = word_ngrams(eval_df, id_col, text_col, n).select(
+        F.col("id").alias("eval_id"), "ngram"
+    )
+    co = word_ngrams(corpus, id_col, text_col, n)
+    hits = co.join(F.broadcast(ev), "ngram")
+    return hits.groupBy("id").agg(
+        F.countDistinct("ngram").alias("n_overlap_ngrams"),
+        F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+    ).select(F.col("id").alias(id_col), "n_overlap_ngrams", "n_eval_docs_hit")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """corpus minus documents overlapping the eval set in >= min_overlap
+    distinct n-grams: one left_anti join against the (tiny) report."""
+    bad = contamination_report(corpus, eval_df, id_col, text_col, n).where(
+        F.col("n_overlap_ngrams") >= min_overlap
+    ).select(id_col)
+    return corpus.join(bad, id_col, "left_anti")

@@ -1,0 +1,91 @@
+"""Deterministic sequence packing — assign documents to fixed-token-budget
+training bins ("concat-and-chunk": documents are laid out in a
+deterministic stream order and the stream is cut every ``token_budget``
+tokens; a document belongs to the bin where its first token lands). The
+standard pretraining batch-assembly primitive, restated for Spark.
+
+Scale design — the whole point of this operator's shape:
+
+* A SINGLE global stream order would serialize the cumulative sum (one
+  window partition = one task = the whole corpus through one executor).
+  Packing is therefore SHARDED: a deterministic md5 shard key splits the
+  corpus into ``shards`` independent streams, each packed by its own
+  window partition — shard-parallel, and each training shard/bin is still
+  exactly reproducible from (doc ids, salt) alone, on any cluster size or
+  engine (md5 is md5: the q39 DuckDB oracle replays shard, order, and bin
+  assignment byte-for-byte).
+* The only shuffle is the window's hash-partition on the ~uniform shard
+  key. Token counts are whitespace counts here; swap token_count_col for
+  a real tokenizer count column upstream without touching the packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from generative_ner_spark.operators.quality import token_count_col
+
+
+def _md5_key(key_col: str, salt: str):
+    return F.md5(F.concat(F.lit(f"{salt}:"),
+                          F.col(key_col).cast("string")))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Per doc: (id_col, n_tokens, shard, bin) — bin = which
+    ``token_budget``-token training sequence of its shard's stream the
+    document STARTS in. Deterministic: stream order inside a shard is the
+    md5 order key, shard is an md5 mod, so the packing is identical on
+    every run/engine/cluster size."""
+    okey = _md5_key(id_col, salt)
+    shard = F.expr(
+        f"pmod(cast(conv(substring(md5(concat('{salt}:', "
+        f"cast({id_col} as string))), 1, 15), 16, 10) as long), {shards})"
+    )
+    toks = df.select(
+        F.col(id_col),
+        token_count_col(text_col).alias("n_tokens"),
+        shard.alias("shard"),
+        okey.alias("_okey"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / token_budget)
+            .alias("bin"),
+        )
+    )
+
+
+def packing_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Aggregate packing layout: (shard, bin, n_docs, n_tokens) — the
+    bin-fill profile a training job consumes (and the cheap check that
+    every bin except a shard's last holds ~token_budget tokens)."""
+    packed = pack_sequences(df, id_col, text_col, token_budget, shards, salt)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

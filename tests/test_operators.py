@@ -1471,6 +1471,80 @@ class TestDedupSimilarity:
             assert got == exact, r.query_id
 
 
+class TestCurationOps:
+    """PII redaction, eval-set decontamination, sequence packing."""
+
+    def test_pii_counts_and_redaction(self, spark):
+        from generative_ner_spark.operators import pii
+
+        rows = [
+            (1, "mail a.b@x.org or c@y.co, host 10.0.0.1, dial +1 222 333 4444"),
+            (2, "nothing sensitive here"),
+            (3, "ip 192.168.1.1 twice 192.168.1.1"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        feats = {r.doc_id: r for r in pii.with_pii_features(df).collect()}
+        assert (feats[1].n_emails, feats[1].n_ips, feats[1].n_phones) == (2, 1, 1)
+        assert feats[1].has_pii and not feats[2].has_pii
+        assert feats[3].n_ips == 2
+        red = {r.doc_id: r.redacted for r in pii.redact_pii(df).collect()}
+        assert red[1] == "mail <EMAIL> or <EMAIL>, host <IP>, dial <PHONE>"
+        assert red[2] == "nothing sensitive here"
+        assert red[3] == "ip <IP> twice <IP>"
+
+    def test_decontamination_report_and_filter(self, spark):
+        from generative_ner_spark.operators import decontam
+
+        eval_text = "the quick brown fox jumps over the lazy dog every day"
+        rows = [
+            (1, "clean document with entirely different words " * 3),
+            (2, f"prefix junk {eval_text} suffix junk"),   # contaminated
+            (3, "short"),                                  # < n tokens
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        eval_df = spark.createDataFrame(
+            [(100, eval_text)], "doc_id long, text string")
+        rep = {r.doc_id: r for r in decontam.contamination_report(
+            corpus, eval_df, n=8).collect()}
+        assert set(rep) == {2}
+        # 11-token eval doc -> 4 distinct 8-grams, all present in doc 2
+        assert rep[2].n_overlap_ngrams == 4 and rep[2].n_eval_docs_hit == 1
+        kept = {r.doc_id for r in decontam.decontaminate(
+            corpus, eval_df, n=8).collect()}
+        assert kept == {1, 3}
+        # the eval side of the join is BROADCAST (corpus never shuffles
+        # for the probe)
+        plan = decontam.contamination_report(
+            corpus, eval_df, n=8)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_sequence_packing_layout(self, spark):
+        from generative_ner_spark.operators import packing
+
+        # 60 docs x 10 tokens, ONE shard, budget 100 -> 6 bins of exactly
+        # 10 docs / 100 tokens
+        rows = [(i, " ".join(["tok"] * 10)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = packing.packing_report(
+            df, token_budget=100, shards=1).collect()
+        assert len(rep) == 6
+        assert all(r.n_docs == 10 and r.n_tokens == 100 for r in rep)
+        assert sorted(r.bin for r in rep) == list(range(6))
+        # sharded: bins contiguous from 0 per shard, tokens conserved,
+        # byte-identical across runs
+        packed = packing.pack_sequences(df, token_budget=100, shards=4)
+        rows1 = sorted(map(tuple, packed.collect()))
+        rows2 = sorted(map(tuple, packing.pack_sequences(
+            df, token_budget=100, shards=4).collect()))
+        assert rows1 == rows2
+        assert sum(r[1] for r in rows1) == 600
+        by_shard = {}
+        for _id, _tok, shard, b in rows1:
+            by_shard.setdefault(shard, set()).add(b)
+        for shard, bins in by_shard.items():
+            assert bins == set(range(max(bins) + 1)), (shard, bins)
+
+
 class TestMultimodal:
     def test_plumbing(self, spark):
         cfg = SynthConfig(n_docs=60)
