@@ -26,19 +26,23 @@ from pyspark.sql import functions as F
 
 
 def word_ngrams(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", n: int = 8) -> DataFrame:
-    """Distinct lowercased word n-grams per doc: (id, ngram)."""
+                text_col: str = "text", n: int = 8,
+                distinct: bool = True) -> DataFrame:
+    """Lowercased word n-grams per doc: (id, ngram).
+
+    ``distinct=True`` (the eval side) dedups — a shuffle, fine for a
+    broadcast-sized set. The CORPUS side passes ``distinct=False``: the
+    raw explode stays map-side and the per-doc countDistinct downstream
+    dedups for free, so the corpus n-grams never shuffle."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
     grams = (
         f"CASE WHEN size({toks}) < {n} THEN array() "
         f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
         f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
     )
-    return (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(F.expr(grams)).alias("ngram"))
-        .dropDuplicates(["id", "ngram"])
-    )
+    out = df.select(F.col(id_col).alias("id"),
+                    F.explode(F.expr(grams)).alias("ngram"))
+    return out.dropDuplicates(["id", "ngram"]) if distinct else out
 
 
 def contamination_report(
@@ -56,7 +60,10 @@ def contamination_report(
     ev = word_ngrams(eval_df, id_col, text_col, n).select(
         F.col("id").alias("eval_id"), "ngram"
     )
-    co = word_ngrams(corpus, id_col, text_col, n)
+    # corpus side NOT pre-deduplicated: the broadcast join filters
+    # map-side and countDistinct dedups in the agg — the only shuffle in
+    # the whole check carries the (tiny) hit rows
+    co = word_ngrams(corpus, id_col, text_col, n, distinct=False)
     hits = co.join(F.broadcast(ev), "ngram")
     return hits.groupBy("id").agg(
         F.countDistinct("ngram").alias("n_overlap_ngrams"),
