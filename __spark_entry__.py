@@ -742,6 +742,87 @@ def q39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard", "bin")
 
 
+_URL_SALTS = [
+    " see https://example.com/a/b?x=1 and http://blog.example.org/post today",
+    " via https://news.example.com/today ok",
+    " mirror http://example.com:8080/path here",
+]
+
+_BOILER = ["subscribe to our newsletter today", "follow us for more updates"]
+
+
+def q40_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain corpus stats (operators/urls.py) over a
+    deterministically URL-salted corpus (raw testdata has no URLs): the
+    C4-style decision table for domain blocklist filtering. Extraction is
+    one narrow codegen pass; the domain agg is map-side combined."""
+    from generative_ner_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat("text", F.lit(_URL_SALTS[0])))
+        .when(F.col("doc_id") % 4 == 1, F.concat("text", F.lit(_URL_SALTS[1])))
+        .when(F.col("doc_id") % 4 == 2, F.concat("text", F.lit(_URL_SALTS[2])))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return urls.domain_stats(salted).orderBy("domain")
+
+
+def q41_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (operators/dedup.py
+    dedup_paragraphs — the CCNet/Dolma boilerplate remover). Docs are
+    built with shared boilerplate paragraphs around per-doc content; each
+    boilerplate paragraph must survive ONLY in its first (min doc_id,
+    idx) occurrence and every doc is rebuilt in original paragraph
+    order."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = F.expr("substring(text, 1, 60)")
+    s2 = F.expr("substring(text, 61, 60)")
+    m = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws("\n", F.lit(_BOILER[0]), s1, F.lit(_BOILER[1]), s2),
+        )
+        .otherwise(F.concat_ws("\n", F.lit(_BOILER[0]), s1, s2))
+        .alias("text"),
+    )
+    return dedup.dedup_paragraphs(m).orderBy("doc_id")
+
+
+def q42_interleaved_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-composition features (operators/multimodal.py
+    composition_features — the OBELICS-style structural filter): docs
+    built media-only (doc_id%7==0), text+media (doc_id%3==0), or
+    text-only; one narrow array-expression projection, no explode. The
+    has_text flag IS the require_text curation gate."""
+    from generative_ner_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    text_span = F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("image").alias("kind"), F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("s3://corpus/media/img-"), F.col("doc_id"))
+        .alias("media_ref"), F.lit(1).alias("offset"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.array(media_span))
+        .when(F.col("doc_id") % 3 == 0, F.array(text_span, media_span))
+        .otherwise(F.array(text_span))
+        .alias("spans"),
+    )
+    return multimodal.composition_features(docs).select(
+        "doc_id", "n_spans", "n_text_spans", "n_media_spans",
+        "text_chars", "media_per_text", "has_text",
+    ).orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -839,6 +920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_pii_redaction": q37_pii_redaction,
         "q38_decontamination": q38_decontamination,
         "q39_sequence_packing": q39_sequence_packing,
+        "q40_domain_stats": q40_domain_stats,
+        "q41_paragraph_dedup": q41_paragraph_dedup,
+        "q42_interleaved_composition": q42_interleaved_composition,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1237,6 +1321,91 @@ def _packing_sql(token_budget: int = 500, shards: int = 8,
         FROM packed GROUP BY shard, bin ORDER BY shard, bin"""
 
 
+def _domain_stats_sql() -> str:
+    """q40 oracle: replay URL salting, extraction, domain capture, stats."""
+    from generative_ner_spark.operators.urls import DOMAIN_PAT, URL_PAT
+
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN text || '{_URL_SALTS[0]}'
+                       WHEN 1 THEN text || '{_URL_SALTS[1]}'
+                       WHEN 2 THEN text || '{_URL_SALTS[2]}'
+                       ELSE text
+                   END AS text
+            FROM documents
+        ),
+        urls AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{URL_PAT}', 0)) AS url
+            FROM docs
+        )
+        SELECT lower(regexp_extract(url, '{DOMAIN_PAT}', 1)) AS domain,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM urls GROUP BY domain ORDER BY domain"""
+
+
+def _paragraph_dedup_sql() -> str:
+    """q41 oracle: replay boilerplate construction, first-occurrence-wins
+    paragraph dedup, and the ordered rebuild."""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                            '{_BOILER[0]}' || chr(10) ||
+                            substring(text, 1, 60) || chr(10) ||
+                            '{_BOILER[1]}' || chr(10) ||
+                            substring(text, 61, 60)
+                        ELSE '{_BOILER[0]}' || chr(10) ||
+                             substring(text, 1, 60) || chr(10) ||
+                             substring(text, 61, 60)
+                   END AS text
+            FROM documents
+        ),
+        paras AS (
+            SELECT doc_id, i - 1 AS idx, tk[i] AS para
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk))) AS i
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS tk
+                        FROM docs))
+            WHERE tk[i] != ''
+        ),
+        ranked AS (
+            SELECT doc_id, idx, para,
+                   row_number() OVER (PARTITION BY md5(para)
+                        ORDER BY doc_id, idx) AS rn
+            FROM paras
+        )
+        SELECT doc_id,
+               string_agg(para, chr(10) ORDER BY idx) AS text
+        FROM ranked WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _composition_sql() -> str:
+    """q42 oracle: the span construction is pure doc_id arithmetic, so the
+    features collapse to CASE expressions."""
+    return """
+        WITH f AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 1
+                        WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_spans,
+                   CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS n_text_spans,
+                   CASE WHEN doc_id % 7 = 0 THEN 0 ELSE length(text) END
+                       AS text_chars
+            FROM documents
+        )
+        SELECT doc_id, n_spans, n_text_spans,
+               n_spans - n_text_spans AS n_media_spans,
+               text_chars,
+               round(1.0 * (n_spans - n_text_spans)
+                     / greatest(n_text_spans, 1), 6) AS media_per_text,
+               n_text_spans > 0 AS has_text
+        FROM f ORDER BY doc_id"""
+
+
 def _triples_sql() -> str:
     """Flagship oracle: replay the full KG pipeline's triple semantics in SQL.
 
@@ -1595,6 +1764,9 @@ def oracle_sql() -> dict[str, str]:
         "q37_pii_redaction": _pii_sql(),
         "q38_decontamination": _decontam_sql(n=8),
         "q39_sequence_packing": _packing_sql(token_budget=500, shards=8),
+        "q40_domain_stats": _domain_stats_sql(),
+        "q41_paragraph_dedup": _paragraph_dedup_sql(),
+        "q42_interleaved_composition": _composition_sql(),
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,
                                                     shingle_n=5, threshold=0.8),

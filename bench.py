@@ -49,6 +49,9 @@ HEADLINE = [
     "q37_pii_redaction",
     "q38_decontamination",
     "q39_sequence_packing",
+    "q40_domain_stats",
+    "q41_paragraph_dedup",
+    "q42_interleaved_composition",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -244,6 +244,44 @@ def simhash_near_dup_pairs(
     return pairs
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet/Dolma boilerplate
+    remover): every distinct paragraph keeps only its FIRST occurrence —
+    min (doc, position) over the md5 of the paragraph — and documents are
+    rebuilt from their surviving paragraphs in original order. Documents
+    whose every paragraph was seen earlier disappear entirely (they were
+    pure boilerplate).
+
+    Scale shape: explode -> ONE groupBy on the uniform paragraph hash
+    (map-side-combined min(struct(id, idx)) — boilerplate hot keys are
+    absorbed by partial aggregation, the reduce side sees one winner
+    candidate per partition per hash) -> join back on the hash -> per-doc
+    ordered rebuild via sort_array over collected (idx, para) structs (no
+    window, no global sort). Fully SQL-expressible => full q41 oracle.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).where(F.col("para") != "")
+    hashed = paras.withColumn("ph", F.md5("para"))
+    winners = hashed.groupBy("ph").agg(
+        F.min(F.struct("id", "idx")).alias("w"))
+    kept = hashed.join(winners, "ph").where(
+        (F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col)
+    )
+    return rebuilt.select(F.col("id").alias(id_col), text_col)
+
+
 def ngram_jaccard_pairs(
     candidates: DataFrame,
     docs: DataFrame,

@@ -157,3 +157,51 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def composition_features(docs: DataFrame) -> DataFrame:
+    """Per-doc interleaved-composition features over the spans array —
+    the OBELICS-style structural filter for an interleaved text+media
+    corpus (docs that are all media and no text, or pathologically
+    media-heavy, are curation rejects).
+
+    ONE narrow projection of array expressions (filter/size/aggregate over
+    the spans column — no explode, no shuffle, whole-stage codegen): at
+    100 TB this pass rides the scan. Output columns: n_spans,
+    n_text_spans, n_media_spans, text_chars, media_per_text ratio
+    (rounded, media/max(text,1)), has_text.
+    """
+    n_spans = F.size("spans")
+    n_text = F.size(F.expr("filter(spans, s -> s.kind = 'text')"))
+    n_media = (n_spans - n_text)
+    text_chars = F.expr(
+        "aggregate(filter(spans, s -> s.kind = 'text'), 0L, "
+        "(acc, s) -> acc + length(s.text))"
+    )
+    return docs.select(
+        "*",
+        n_spans.alias("n_spans"),
+        n_text.alias("n_text_spans"),
+        n_media.alias("n_media_spans"),
+        text_chars.alias("text_chars"),
+        F.round(n_media / F.greatest(n_text, F.lit(1)), 6)
+        .alias("media_per_text"),
+        (n_text > 0).alias("has_text"),
+    )
+
+
+def filter_media_composition(
+    docs: DataFrame,
+    require_text: bool = True,
+    max_media_per_text: float | None = None,
+) -> DataFrame:
+    """Keep documents passing the structural composition gates. The
+    predicate is pushed into the same narrow projection as
+    composition_features — rejected docs never leave the scan stage."""
+    feat = composition_features(docs)
+    cond = F.lit(True)
+    if require_text:
+        cond = cond & F.col("has_text")
+    if max_media_per_text is not None:
+        cond = cond & (F.col("media_per_text") <= max_media_per_text)
+    return feat.where(cond)

@@ -1518,6 +1518,69 @@ class TestCurationOps:
             corpus, eval_df, n=8)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
 
+    def test_url_extraction_and_blocklist_filter(self, spark):
+        from generative_ner_spark.operators import urls
+
+        rows = [
+            (1, "read https://spam.example/a and https://ok.example/b now"),
+            (2, "see http://ok.example:8080/path?q=1"),
+            (3, "no links at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.doc_id, r.domain) for r in
+               urls.extract_urls(df).collect()}
+        assert got == {(1, "spam.example"), (1, "ok.example"),
+                       (2, "ok.example")}
+        stats = {r.domain: (r.n_urls, r.n_docs)
+                 for r in urls.domain_stats(df).collect()}
+        assert stats == {"spam.example": (1, 1), "ok.example": (2, 2)}
+        kept = {r.doc_id for r in urls.filter_blocklisted_domains(
+            df, ["SPAM.example"]).collect()}  # blocklist case-folded
+        assert kept == {2, 3}
+
+    def test_paragraph_dedup_first_occurrence_wins(self, spark):
+        rows = [
+            (1, "boiler\nunique one\nboiler2"),
+            (2, "boiler\nunique two\nboiler2\nboiler"),
+            (3, "boiler\nboiler2"),          # pure boilerplate: vanishes
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in
+               dedup.dedup_paragraphs(df).collect()}
+        # doc 1 (min id) keeps everything; doc 2 keeps only its unique
+        # paragraph (both boiler copies incl. its own repeat are later
+        # occurrences); doc 3 is gone entirely
+        assert out == {1: "boiler\nunique one\nboiler2",
+                       2: "unique two"}
+
+    def test_interleaved_composition_features_and_filter(self, spark):
+        from generative_ner_spark.operators import multimodal
+
+        def span(kind, text=None, ref=None, off=0):
+            return (kind, text, ref, off)
+
+        schema = ("doc_id string, spans array<struct<kind:string,"
+                  "text:string,media_ref:string,offset:int>>")
+        rows = [
+            ("t", [span("text", "hello world")]),
+            ("tm", [span("text", "cap"), span("image", ref="s3://x", off=1)]),
+            ("m", [span("image", ref="s3://y")]),
+            ("mm", [span("image", ref="a"), span("audio", ref="b", off=1),
+                    span("text", "x", off=2)]),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        f = {r.doc_id: r for r in
+             multimodal.composition_features(df).collect()}
+        assert (f["t"].n_spans, f["t"].n_text_spans, f["t"].text_chars) == \
+            (1, 1, 11)
+        assert f["t"].media_per_text == 0.0 and f["t"].has_text
+        assert (f["tm"].n_media_spans, f["tm"].media_per_text) == (1, 1.0)
+        assert not f["m"].has_text and f["m"].text_chars == 0
+        assert f["mm"].media_per_text == 2.0
+        kept = {r.doc_id for r in multimodal.filter_media_composition(
+            df, require_text=True, max_media_per_text=1.5).collect()}
+        assert kept == {"t", "tm"}  # 'm' has no text; 'mm' ratio 2.0 > 1.5
+
     def test_sequence_packing_layout(self, spark):
         from generative_ner_spark.operators import packing
 
