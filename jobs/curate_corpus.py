@@ -1,0 +1,134 @@
+"""spark-submit entry point: end-to-end training-corpus curation.
+
+Chains the repo's curation operators over a parquet documents table
+(doc_id, text, ...) in the order a production pretraining-data pipeline
+runs them — cheap narrow filters first, shuffling stages last, every
+stage's row count recorded as metrics:
+
+  1. quality + language gates + exact dedup      (quality.curate)
+  2. PII redaction                               (pii.redact_pii)
+  3. fuzzy near-dedup (MinHash-LSH -> CC)        (dedup.near_dedup_documents)
+  4. eval-set decontamination                    (decontam.decontaminate)
+  5. stratified hash sampling (rebalancing)      (quality.stratified_hash_sample)
+  6. write curated parquet + optional packing report + _metrics.json
+
+    ./scripts/make_pyfiles.sh
+    spark-submit --master local[8] --py-files dist/generative_ner_spark.zip \
+        jobs/curate_corpus.py --input /data/documents --output /tmp/curated \
+        --lang en --redact-pii --near-dedup --pack-budget 2048
+
+Stage ordering is the scale argument: the quality/lang/PII passes are
+narrow projections that shrink the corpus BEFORE the dedup shuffles, and
+decontamination joins a broadcast eval set, so the only corpus-wide
+shuffles are the two dedup stages — each keyed on uniform hashes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_rates(spec: str) -> dict[str, float]:
+    """'en=0.5,de=1.0' -> {'en': 0.5, 'de': 1.0}"""
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split("=", 1)
+        out[k.strip()] = float(v)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="corpus curation, Spark-first")
+    ap.add_argument("--input", required=True,
+                    help="parquet dir with (doc_id, text, ...)")
+    ap.add_argument("--output", "-o", required=True)
+    ap.add_argument("--lang", default=None,
+                    help="keep only this lang_id prediction (e.g. en)")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="MinHash-LSH fuzzy dedup (connected components)")
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--eval-parquet", default=None,
+                    help="decontaminate against this eval documents table")
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--sample-rates", default=None,
+                    help="per-lang keep rates, e.g. en=0.5,de=1.0")
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="also write a sequence-packing report at this "
+                         "token budget")
+    ap.add_argument("--pack-shards", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("curate-corpus").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from generative_ner_spark.operators import decontam, dedup, packing, pii
+    from generative_ner_spark.operators import quality as Q
+
+    metrics: dict[str, int] = {}
+    df = spark.read.parquet(args.input)
+    metrics["input_docs"] = df.count()
+
+    # 1. quality/lang gates + exact dedup (filters run before the dedup
+    # shuffle inside curate())
+    df = Q.curate(df, lang=args.lang, min_tokens=args.min_tokens,
+                  max_tokens=args.max_tokens)
+    # keep the pipeline schema lean: drop curate's feature columns after
+    # the gates fire (they are recomputable; the sink should carry text)
+    df = df.select("doc_id", "text", "lang_pred")
+    metrics["after_quality_exact_dedup"] = df.count()
+
+    # 2. PII redaction (narrow projection; text REPLACED by redacted)
+    if args.redact_pii:
+        df = pii.redact_pii(df).drop("text").withColumnRenamed(
+            "redacted", "text")
+        metrics["after_pii_redaction"] = metrics["after_quality_exact_dedup"]
+
+    # 3. fuzzy near-dedup (the heavy stage — runs on the shrunken corpus)
+    if args.near_dedup:
+        df = dedup.near_dedup_documents(df, jaccard_threshold=args.jaccard)
+        metrics["after_near_dedup"] = df.count()
+
+    # 4. decontamination vs a broadcast eval set
+    if args.eval_parquet:
+        eval_df = spark.read.parquet(args.eval_parquet)
+        df = decontam.decontaminate(df, eval_df, n=args.decontam_n)
+        metrics["after_decontamination"] = df.count()
+
+    # 5. deterministic language rebalancing
+    if args.sample_rates:
+        df = Q.stratified_hash_sample(
+            df, parse_rates(args.sample_rates), "lang_pred",
+            default_rate=args.default_rate)
+        metrics["after_sampling"] = df.count()
+
+    curated = os.path.join(args.output, "curated")
+    df.write.mode("overwrite").parquet(curated)
+    metrics["output_docs"] = spark.read.parquet(curated).count()
+
+    # 6. packing layout for the training job
+    if args.pack_budget:
+        report = packing.packing_report(
+            spark.read.parquet(curated),
+            token_budget=args.pack_budget, shards=args.pack_shards)
+        report.write.mode("overwrite").parquet(
+            os.path.join(args.output, "packing_report"))
+        metrics["packing_bins"] = report.count()
+
+    with open(os.path.join(args.output, "_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -754,6 +754,55 @@ class TestRunGptCli:
         assert not (tmp_path / "d" / "response_cache").exists()
 
 
+class TestCurateCorpusCli:
+    """jobs/curate_corpus.py — the end-to-end curation chain as a job."""
+
+    def test_end_to_end_chain(self, spark, tmp_path, capsys):
+        import jobs.curate_corpus as cli
+
+        src = str(tmp_path / "docs")
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        d.select(
+            "doc_id",
+            F.concat("text", F.lit(" mail me at a.b@x.org")).alias("text"),
+        ).write.parquet(src)
+        ev = str(tmp_path / "eval")
+        d.where("doc_id % 97 = 0").select("doc_id", "text").write.parquet(ev)
+        out_dir = str(tmp_path / "out")
+        rc = cli.main([
+            "--input", src, "--output", out_dir,
+            "--redact-pii", "--near-dedup", "--eval-parquet", ev,
+            "--sample-rates", "en=0.5", "--default-rate", "1.0",
+            "--pack-budget", "500", "--pack-shards", "4",
+        ])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        m = json.loads([ln for ln in lines if ln.startswith("{")][-1])
+        # every stage can only shrink the corpus, and each heavy stage
+        # actually fired: exact dedup is a no-op here (unique texts), the
+        # eval twins must be decontaminated away, sampling halves 'en'
+        assert m["input_docs"] == 500
+        seq = [m["input_docs"], m["after_quality_exact_dedup"],
+               m["after_near_dedup"], m["after_decontamination"],
+               m["after_sampling"], m["output_docs"]]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), m
+        assert m["after_decontamination"] < m["after_near_dedup"]
+        assert m["after_sampling"] < m["after_decontamination"]
+        assert m["output_docs"] == m["after_sampling"] > 0
+        assert m["packing_bins"] > 0
+        curated = spark.read.parquet(out_dir + "/curated")
+        # PII redaction replaced the salted email everywhere
+        assert curated.where(F.col("text").contains("a.b@x.org")).count() == 0
+        assert curated.where(F.col("text").contains("<EMAIL>")).count() == \
+            curated.count()
+        # metrics file mirrors stdout
+        with open(out_dir + "/_metrics.json") as f:
+            assert json.load(f) == m
+        # packing report readable + consistent with the curated corpus
+        rep = spark.read.parquet(out_dir + "/packing_report")
+        assert rep.agg(F.sum("n_docs")).first()[0] == curated.count()
+
+
 class TestCost:
     def test_cost_columns_and_budget(self, spark):
         df = spark.createDataFrame(
