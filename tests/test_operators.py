@@ -1630,6 +1630,53 @@ class TestCurationOps:
             df, require_text=True, max_media_per_text=1.5).collect()}
         assert kept == {"t", "tm"}  # 'm' has no text; 'mm' ratio 2.0 > 1.5
 
+    def test_pii_redaction_idempotent(self, spark):
+        """Redacting already-redacted text is a no-op: the placeholders
+        contain no digits or '@', so no pattern can re-fire — the
+        invariant that makes the pass safe to re-run on partial outputs."""
+        from generative_ner_spark.operators import pii
+
+        rows = [(i, f"doc {i} mail a{i}@x{i}.org ip 10.0.0.{i % 256} "
+                    f"call +1 555 000 {1000 + i}") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        once = pii.redact_pii(df).select(
+            "doc_id", F.col("redacted").alias("text"))
+        twice = pii.redact_pii(once).select("doc_id", "redacted")
+        rows1 = {r.doc_id: r.text for r in once.collect()}
+        rows2 = {r.doc_id: r.redacted for r in twice.collect()}
+        assert rows1 == rows2
+        assert all("<EMAIL>" in t and "<IP>" in t and "<PHONE>" in t
+                   for t in rows1.values())
+
+    def test_paragraph_dedup_idempotent(self, spark):
+        """dedup_paragraphs(dedup_paragraphs(x)) == dedup_paragraphs(x):
+        the survivor set already has globally-unique paragraphs, so a
+        second pass must change nothing."""
+        rows = [(i, f"shared header\nbody {i} line\nshared footer")
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        once = dedup.dedup_paragraphs(df)
+        twice = dedup.dedup_paragraphs(once)
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
+
+    def test_packing_is_input_order_invariant(self, spark):
+        """The packing layout is a pure function of (doc ids, salt): the
+        SAME (shard, bin) assignment must come back regardless of input
+        row order or partitioning — the property that makes the layout
+        reproducible on any cluster size."""
+        from generative_ner_spark.operators import packing
+
+        rows = [(i, " ".join(["w"] * (5 + i % 17))) for i in range(200)]
+        df1 = spark.createDataFrame(rows, "doc_id long, text string")
+        df2 = spark.createDataFrame(
+            list(reversed(rows)), "doc_id long, text string").repartition(7)
+        p1 = sorted(map(tuple, packing.pack_sequences(
+            df1, token_budget=64, shards=4).collect()))
+        p2 = sorted(map(tuple, packing.pack_sequences(
+            df2, token_budget=64, shards=4).collect()))
+        assert p1 == p2
+
     def test_sequence_packing_layout(self, spark):
         from generative_ner_spark.operators import packing
 
