@@ -169,20 +169,30 @@ def generate_with_model(
     max_new_tokens: int = 512,
     prompt_col: str = "prompt_text",
     out_col: str = "generated_text",
+    loader=None,
 ) -> DataFrame:
     """mapInPandas generation with per-executor model singleton.
 
     Semantics per reference pred.py:13-29: batch tokenize with LEFT padding,
     generate, decode, strip everything up to the response template, strip().
     Arrow batch size == the reference's batch_size flush.
+
+    ``loader``: injectable ``(model_name) -> (tokenizer, model)`` factory,
+    defaulting to the torch/transformers worker singleton. Production
+    never passes it; the test suite injects a pure-python fake speaking
+    the same tokenizer/model API, so the FULL wiring — left-padded batch
+    tokenize -> generate -> decode -> eos fold -> response-template strip
+    — executes and is pinned without torch in the environment. Only the
+    real HF weight load stays env-gated.
     """
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in prompts.schema.fields]
         + [f"{out_col} string"]
     )
+    load = loader or _load_singleton
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tok, model = _load_singleton(model_name)
+        tok, model = load(model_name)
         resp = detect_templates(tok.chat_template)["response"]
         for pdf in batches:
             texts = list(pdf[prompt_col])

@@ -916,6 +916,51 @@ class TestDemos:
         assert spliced[-1]["role"] == "user"
 
 
+def _make_fake_loader():
+    """Returns a pure-python (tokenizer, model) loader speaking the API
+    generate_with_model uses. Everything is nested so cloudpickle ships
+    the whole closure by VALUE to workers (top-level test-module
+    functions/classes pickle by reference and fail to import
+    executor-side)."""
+
+    def _fake_loader(model_name):
+        assert model_name == "fake/model"
+
+        class FakeEnc(dict):
+            def to(self, device):
+                return self
+
+        class FakeTok:
+            chat_template = "x [INST] q [/INST] a"
+            eos_token = "<eos>"
+            eos_token_id = 0
+
+            def __call__(self, texts, return_tensors=None, padding=None,
+                         padding_side=None):
+                # the reference tokenizes with LEFT padding (pred.py:13-29) —
+                # the wiring must request it
+                assert padding is True and padding_side == "left", (
+                    padding, padding_side)
+                assert return_tensors == "pt"
+                return FakeEnc(prompts=list(texts))
+
+            def decode(self, tokens):
+                return tokens  # "tokens" are the generated strings themselves
+
+        class FakeModel:
+            device = "cpu"
+
+            def generate(self, prompts=None, max_new_tokens=None,
+                         pad_token_id=None, **kw):
+                assert pad_token_id == 0 and max_new_tokens == 7
+                return [f"{p} [/INST] ANSWER({p.split()[-1]})<eos>trailing"
+                        for p in prompts]
+
+        return FakeTok(), FakeModel()
+
+    return _fake_loader
+
+
 class TestLlmTemplates:
     @pytest.mark.parametrize("tpl,resp", [
         ("xx [INST] yy [/INST]", "[/INST]"),
@@ -929,6 +974,30 @@ class TestLlmTemplates:
     def test_unknown_raises(self):
         with pytest.raises(NotImplementedError):
             llm.detect_templates("no known markers")
+
+    def test_generate_with_model_full_wiring_via_injected_loader(self, spark):
+        """The forward-pass WIRING runs end-to-end without torch: the
+        injected pure-python (tokenizer, model) pair pins that the
+        mapInPandas stage requests left-padded batch tokenization, calls
+        model.generate with the configured max_new_tokens/pad_token_id,
+        folds the eos token to a newline, and strips everything up to the
+        detected response template (pred.py:13-29 semantics). Only the
+        real HF weight load stays env-gated behind _load_singleton."""
+        df = spark.createDataFrame(
+            [("e1", "tag the word alpha"), ("e2", "tag the word beta")],
+            "example_id string, prompt_text string",
+        ).repartition(1)
+        out = {r.example_id: r.generated_text for r in llm.generate_with_model(
+            df, "fake/model", max_new_tokens=7, loader=_make_fake_loader(),
+        ).collect()}
+        assert out == {"e1": "ANSWER(alpha)\ntrailing",
+                       "e2": "ANSWER(beta)\ntrailing"}
+
+    def test_generate_with_model_default_loader_is_torch_gated(self, spark):
+        df = spark.createDataFrame(
+            [("e1", "x")], "example_id string, prompt_text string")
+        with pytest.raises(Exception, match="transformers/torch"):
+            llm.generate_with_model(df, "any/model").collect()
 
     # Public chat-template strings for the four families the reference
     # detects (preprocessor.py:76-106) — ChatML/Llama-3/Gemma/Mistral
