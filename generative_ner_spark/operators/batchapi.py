@@ -109,3 +109,151 @@ def stub_batch_responder(tasks: DataFrame) -> DataFrame:
 def join_results(inputs: DataFrame, results: DataFrame) -> DataFrame:
     """Keyed equi-join on custom_id (replaces run_batchapi.py:68 pop(0))."""
     return inputs.join(results, "custom_id", "inner")
+
+
+# ---------------------------------------------------------------------------
+# Control plane (S19): submit / poll / retrieve with an injectable client.
+#
+# The reference flow (openai_api.py:393-500 + the run_batchapi.py:17-23
+# poll loop): upload each 50k-chunk file, create one batch job per file,
+# persist batch_id_list.jsonl, poll every job to a terminal status, then
+# download and parse each job's output file. That flow is driver-side
+# CONTROL (no data-parallel work), so it is expressed here against a
+# minimal client protocol —
+#     upload_file(path) -> file_id
+#     create_batch(file_id) -> batch_id
+#     batch_status(batch_id) -> str
+#     download_results(batch_id, dest_path) -> None
+# — with the real OpenAI client slotting in exactly where
+# LocalBatchClient (a deterministic file-backed stand-in; no network in
+# this sandbox) does in tests. Retrieval hands the downloaded JSONL back
+# to Spark, where the keyed custom_id join replaces the reference's
+# order-dependent pop(0).
+# ---------------------------------------------------------------------------
+
+TERMINAL_BATCH_STATUSES = {"completed", "failed", "expired", "cancelled"}
+
+
+class LocalBatchClient:
+    """Deterministic Batch-API stand-in over the local filesystem.
+
+    Status advances one step PER POLL — validating -> in_progress ->
+    completed — so the poll loop demonstrably iterates rather than
+    short-circuiting. Results echo the task's custom_id (or run an
+    injected ``responder(messages, params) -> (text, finish_reason)``,
+    the same seam syncgen uses), written as the reference's output-file
+    JSONL shape."""
+
+    _LADDER = ["validating", "in_progress", "completed"]
+
+    def __init__(self, workdir: str, responder=None):
+        import os
+
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.responder = responder
+        self._files: dict[str, str] = {}
+        self._batches: dict[str, str] = {}
+        self._polls: dict[str, int] = {}
+
+    def upload_file(self, path: str) -> str:
+        fid = f"file-{len(self._files)}"
+        self._files[fid] = path
+        return fid
+
+    def create_batch(self, file_id: str) -> str:
+        bid = f"batch-{len(self._batches)}"
+        self._batches[bid] = file_id
+        self._polls[bid] = 0
+        return bid
+
+    def batch_status(self, batch_id: str) -> str:
+        n = self._polls[batch_id]
+        self._polls[batch_id] = n + 1
+        return self._LADDER[min(n, len(self._LADDER) - 1)]
+
+    def download_results(self, batch_id: str, dest_path: str) -> None:
+        import json as _json
+
+        with open(self._files[self._batches[batch_id]]) as f, \
+                open(dest_path, "w") as out:
+            for line in f:
+                if not line.strip():
+                    continue
+                task = _json.loads(line)
+                if self.responder is not None:
+                    body = task["body"]
+                    text, _fr = self.responder(
+                        body["messages"],
+                        {k: v for k, v in body.items() if k != "messages"},
+                    )
+                else:
+                    text = f"echo:{task['custom_id']}"
+                out.write(_json.dumps({
+                    "custom_id": task["custom_id"],
+                    "generated_text": text,
+                }) + "\n")
+
+
+def submit_batches(client, batch_files_dir: str, state_path: str) -> list[str]:
+    """Upload every task chunk file and create one batch job per file;
+    persist the (file, batch_id) list as batch_id_list.jsonl — the
+    resumable handle the reference writes (openai_api.py:393-430)."""
+    import glob
+    import json as _json
+    import os
+
+    files = sorted(
+        p for p in glob.glob(os.path.join(batch_files_dir, "*"))
+        if os.path.basename(p).startswith("part-") or p.endswith(".json")
+        or p.endswith(".jsonl")
+    )
+    records = []
+    for f in files:
+        fid = client.upload_file(f)
+        bid = client.create_batch(fid)
+        records.append({"file": f, "file_id": fid, "batch_id": bid})
+    with open(state_path, "w") as out:
+        for r in records:
+            out.write(_json.dumps(r) + "\n")
+    return [r["batch_id"] for r in records]
+
+
+def poll_batches(client, state_path: str, poll_interval_s: float = 0.0,
+                 max_polls: int = 1000) -> dict[str, str]:
+    """Poll every submitted job to a terminal status (run_batchapi.py:
+    17-23 loop semantics, bounded by max_polls instead of forever)."""
+    import json as _json
+    import time as _time
+
+    with open(state_path) as f:
+        bids = [_json.loads(ln)["batch_id"] for ln in f if ln.strip()]
+    statuses = {b: "" for b in bids}
+    for _ in range(max_polls):
+        for b in bids:
+            if statuses[b] not in TERMINAL_BATCH_STATUSES:
+                statuses[b] = client.batch_status(b)
+        if all(s in TERMINAL_BATCH_STATUSES for s in statuses.values()):
+            return statuses
+        if poll_interval_s:
+            _time.sleep(poll_interval_s)
+    raise TimeoutError(f"batches not terminal after {max_polls} polls: "
+                       f"{statuses}")
+
+
+def retrieve_batches(spark, client, state_path: str, out_dir: str,
+                     statuses: dict[str, str] | None = None) -> DataFrame:
+    """Download every COMPLETED job's output file and hand the results to
+    Spark: (custom_id, generated_text) rows for the keyed re-join."""
+    import json as _json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(state_path) as f:
+        bids = [_json.loads(ln)["batch_id"] for ln in f if ln.strip()]
+    for b in bids:
+        if statuses is not None and statuses.get(b) != "completed":
+            continue
+        client.download_results(b, os.path.join(out_dir, f"{b}.jsonl"))
+    return spark.read.schema(
+        "custom_id string, generated_text string").json(out_dir)

@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="downloaded Batch-API results JSONL dir")
     ap.add_argument("--simulate", action="store_true",
                     help="synthesize results locally (sandbox; no network)")
+    ap.add_argument("--local-control-plane", action="store_true",
+                    help="drive the FULL S19 flow (upload -> create batch "
+                         "-> persist batch_id_list.jsonl -> poll to "
+                         "terminal -> download output files) against the "
+                         "deterministic file-backed client; the real "
+                         "OpenAI client slots into the same protocol")
     ap.add_argument("--output", required=True)
     args = ap.parse_args(argv)
 
@@ -75,7 +81,17 @@ def main(argv: list[str] | None = None) -> int:
 
     examples, golds, _ = build_examples(spark, args)
     tasks = spark.read.json(args.tasks)
-    if args.simulate:
+    if args.local_control_plane:
+        work = os.path.join(args.output, "control_plane")
+        client = batchapi.LocalBatchClient(
+            work, responder=syncgen.heuristic_ner_responder)
+        state = os.path.join(work, "batch_id_list.jsonl")
+        batchapi.submit_batches(client, args.tasks, state)
+        statuses = batchapi.poll_batches(client, state)
+        results = batchapi.retrieve_batches(
+            spark, client, state, os.path.join(work, "downloads"),
+            statuses=statuses)
+    elif args.simulate:
         results = _simulate_results(tasks, syncgen.heuristic_ner_responder)
     elif args.results:
         results = spark.read.json(args.results).select(

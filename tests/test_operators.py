@@ -188,6 +188,42 @@ class TestBatchApi:
         plan = tasks._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
 
+    def test_control_plane_submit_poll_retrieve(self, spark, tmp_path):
+        """The S19 flow end-to-end against the injectable client protocol:
+        one batch job PER chunk file, batch_id_list.jsonl persisted, the
+        poll loop iterates each job through validating -> in_progress ->
+        completed (three polls), downloads land per-job, and the keyed
+        join serves every task exactly once."""
+        import json as _json
+
+        df = spark.range(25).select(
+            F.col("id").cast("string").alias("example_id"),
+            F.array(F.struct(F.lit("user").alias("role"),
+                             F.concat(F.lit("p"), F.col("id")).alias("content"))
+                    ).alias("prompt"),
+        ).coalesce(1)
+        tasks = batchapi.build_batch_tasks(df)
+        bdir = str(tmp_path / "b")
+        batchapi.save_batch_files(tasks, bdir, max_records_per_file=10)
+        client = batchapi.LocalBatchClient(str(tmp_path / "cp"))
+        state = str(tmp_path / "cp" / "batch_id_list.jsonl")
+        bids = batchapi.submit_batches(client, bdir, state)
+        assert len(bids) >= 3  # 25 tasks / 10 per file -> one job per file
+        with open(state) as f:
+            recs = [_json.loads(ln) for ln in f]
+        assert [r["batch_id"] for r in recs] == bids
+        statuses = batchapi.poll_batches(client, state)
+        assert set(statuses.values()) == {"completed"}
+        # the ladder forced three polls per job — the loop really looped
+        assert all(client._polls[b] >= 3 for b in bids)
+        results = batchapi.retrieve_batches(
+            spark, client, state, str(tmp_path / "dl"), statuses=statuses)
+        assert results.count() == 25
+        joined = batchapi.join_results(tasks, results)
+        rows = joined.select("custom_id", "generated_text").collect()
+        assert len(rows) == 25
+        assert all(r.generated_text == f"echo:{r.custom_id}" for r in rows)
+
     def test_chunked_files(self, spark, tmp_path):
         df = spark.range(250).select(
             F.col("id").cast("string").alias("example_id"),
@@ -738,6 +774,16 @@ class TestRunGptCli:
             out = capsys.readouterr().out.strip().splitlines()
             m_batch = json.loads(out[-1])["metrics"]
             assert rc == 0
+            # the FULL control plane (upload -> jobs -> poll -> download)
+            # must score identically to the in-process simulation
+            rc = rcli.main(
+                ["--input", "synth:16", "--format", fmt,
+                 "--tasks", str(d / "submit" / "batch"),
+                 "--local-control-plane",
+                 "--output", str(d / "score_cp")])
+            out = capsys.readouterr().out.strip().splitlines()
+            assert rc == 0
+            assert json.loads(out[-1])["metrics"] == m_batch, fmt
             rc, gout = self._run(
                 ["--mode", "generate", "--input", "synth:16", "--format", fmt,
                  "--output", str(d / "sync")], capsys)
