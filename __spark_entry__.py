@@ -1165,10 +1165,16 @@ def _windowed_counts_sql() -> str:
     """q35 oracle: replay the streaming windowed mention-count stage —
     whole-word lexicon hits per doc, tumbling 10-minute event-time
     windows, per-(window, label) sums. time_bucket == Spark's window()
-    start for zero-aligned tumbling windows."""
+    start for zero-aligned tumbling windows. Patterns come from the SAME
+    word_pattern() builder the Spark operator uses (escaped, lowercased,
+    conditional boundaries) so a metacharacter or uppercase lexicon term
+    can never diverge the two sides."""
     from generative_ner_spark.plans.testdata_kg import LEXICON
+    from generative_ner_spark.streaming.mentions import word_pattern
 
-    vals = ", ".join(f"('{t}', '{lb}')" for t, lb in sorted(LEXICON.items()))
+    vals = ", ".join(
+        f"('{word_pattern(t)}', '{lb}')" for t, lb in sorted(LEXICON.items())
+    )
     return f"""
         WITH docs AS (
             SELECT TIMESTAMP '2025-01-01 00:00:00'
@@ -1178,8 +1184,8 @@ def _windowed_counts_sql() -> str:
         ),
         hits AS (
             SELECT ts, label,
-                   len(regexp_extract_all(t, '\\b' || term || '\\b', 0)) AS n
-            FROM docs, (VALUES {vals}) AS lex(term, label)
+                   len(regexp_extract_all(t, pat, 0)) AS n
+            FROM docs, (VALUES {vals}) AS lex(pat, label)
         ),
         agg AS (
             SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws, label,

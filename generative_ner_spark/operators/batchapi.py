@@ -203,11 +203,21 @@ def submit_batches(client, batch_files_dir: str, state_path: str) -> list[str]:
     import json as _json
     import os
 
-    files = sorted(
-        p for p in glob.glob(os.path.join(batch_files_dir, "*"))
-        if os.path.basename(p).startswith("part-") or p.endswith(".json")
-        or p.endswith(".jsonl")
-    )
+    if os.path.isfile(batch_files_dir):
+        files = [batch_files_dir]  # a single task file is a valid input
+    else:
+        files = sorted(
+            p for p in glob.glob(os.path.join(batch_files_dir, "*"))
+            if os.path.basename(p).startswith("part-") or p.endswith(".json")
+            or p.endswith(".jsonl")
+        )
+    if not files:
+        # without this, zero uploads -> empty state file -> poll_batches
+        # vacuously "all terminal" -> empty results: the whole job would
+        # exit rc=0 having silently submitted NOTHING
+        raise FileNotFoundError(
+            f"no task files found at {batch_files_dir!r} (expected the "
+            f"directory written by save_batch_files, or one JSONL file)")
     records = []
     for f in files:
         fid = client.upload_file(f)
@@ -244,10 +254,17 @@ def poll_batches(client, state_path: str, poll_interval_s: float = 0.0,
 def retrieve_batches(spark, client, state_path: str, out_dir: str,
                      statuses: dict[str, str] | None = None) -> DataFrame:
     """Download every COMPLETED job's output file and hand the results to
-    Spark: (custom_id, generated_text) rows for the keyed re-join."""
+    Spark: (custom_id, generated_text) rows for the keyed re-join.
+
+    ``out_dir`` is cleared first: spark.read.json reads the whole
+    directory, so a stale batch-N.jsonl surviving from a previous (larger)
+    run would silently duplicate custom_ids through the inner join."""
     import json as _json
     import os
+    import shutil
 
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     with open(state_path) as f:
         bids = [_json.loads(ln)["batch_id"] for ln in f if ln.strip()]

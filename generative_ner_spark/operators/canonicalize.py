@@ -193,7 +193,12 @@ def lsh_candidate_pairs(
         ).alias("band", "band_hash"),
     )
     # cap pathological buckets (hot shingle patterns) — bounded pair blowup
-    bucket_counts = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bc"))
+    # persisted: with metrics requested the counts agg would otherwise run
+    # twice (once for the .first() metrics job, again inside the join) —
+    # and its upstream is the k-aggregate minhash pass, not just the
+    # cached shingles
+    bucket_counts = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_bc")).persist()
     if metrics is not None:
         over = (
             bucket_counts.where(F.col("_bc") > max_bucket)
@@ -228,6 +233,7 @@ def lsh_candidate_pairs(
     )
     verified = verified.localCheckpoint()  # eager: materialize pairs once
     sh.unpersist()  # shingle cache no longer needed — don't leak it
+    bucket_counts.unpersist()
     return verified
 
 

@@ -34,14 +34,22 @@ def word_ngrams(df: DataFrame, id_col: str = "doc_id",
     broadcast-sized set. The CORPUS side passes ``distinct=False``: the
     raw explode stays map-side and the per-doc countDistinct downstream
     dedups for free, so the corpus n-grams never shuffle."""
-    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
-    grams = (
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+    # tokenize ONCE into a bound column, then build n-grams from it: an
+    # inlined tokenizer subtree inside the transform() lambda would be
+    # re-evaluated per n-gram position (higher-order functions are
+    # interpreted, no cross-invocation subexpression elimination), i.e.
+    # O(tokens x doc_length) per document instead of O(doc_length)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
+        .alias("_tk"),
     )
-    out = df.select(F.col(id_col).alias("id"),
-                    F.explode(F.expr(grams)).alias("ngram"))
+    grams = (
+        f"CASE WHEN size(_tk) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {n}))) END"
+    )
+    out = toks.select("id", F.explode(F.expr(grams)).alias("ngram"))
     return out.dropDuplicates(["id", "ngram"]) if distinct else out
 
 

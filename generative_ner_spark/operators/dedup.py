@@ -212,8 +212,10 @@ def simhash_near_dup_pairs(
             ])
         ).alias("chunk_idx", "chunk"),
     )
+    # persisted: with metrics requested the counts agg would otherwise run
+    # twice (once for the .first() metrics job, again inside the join)
     bucket_counts = chunks.groupBy("chunk_idx", "chunk").agg(
-        F.count("*").alias("_bc"))
+        F.count("*").alias("_bc")).persist()
     if metrics is not None:
         over = (
             bucket_counts.where(F.col("_bc") > max_bucket)
@@ -241,6 +243,7 @@ def simhash_near_dup_pairs(
     )
     pairs = pairs.localCheckpoint()  # eager: materialize pairs once
     sh.unpersist()
+    bucket_counts.unpersist()
     return pairs
 
 

@@ -45,16 +45,17 @@ def pack_sequences(
     document STARTS in. Deterministic: stream order inside a shard is the
     md5 order key, shard is an md5 mod, so the packing is identical on
     every run/engine/cluster size."""
-    okey = _md5_key(id_col, salt)
-    shard = F.expr(
-        f"pmod(cast(conv(substring(md5(concat('{salt}:', "
-        f"cast({id_col} as string))), 1, 15), 16, 10) as long), {shards})"
-    )
+    # shard derives from the SAME _okey column (hash once per row; and
+    # the salt never rides inside a SQL string, so a quote in it can't
+    # break the expression — F.lit in _md5_key handles any salt)
     toks = df.select(
         F.col(id_col),
         token_count_col(text_col).alias("n_tokens"),
-        shard.alias("shard"),
-        okey.alias("_okey"),
+        _md5_key(id_col, salt).alias("_okey"),
+    ).withColumn(
+        "shard",
+        F.expr(f"pmod(cast(conv(substring(_okey, 1, 15), 16, 10) as long), "
+               f"{int(shards)})"),
     )
     w = (
         Window.partitionBy("shard")

@@ -749,8 +749,10 @@ def embedding_near_dup_pairs(
     b = with_lsh_buckets(
         embeddings.select(id_col, vec_col), dim, tables, planes, vec_col
     ).select("lsh_table", "bucket", id_col).persist()
+    # persisted: with metrics requested the counts agg would otherwise run
+    # twice (once for the .first() metrics job, again inside the join)
     bucket_counts = b.groupBy("lsh_table", "bucket").agg(
-        F.count("*").alias("_bc"))
+        F.count("*").alias("_bc")).persist()
     if metrics is not None:
         over = (
             bucket_counts.where(F.col("_bc") > max_bucket)
@@ -774,6 +776,7 @@ def embedding_near_dup_pairs(
     )
     pairs = pairs.localCheckpoint()  # eager: materialize candidates once
     b.unpersist()
+    bucket_counts.unpersist()
     return (
         pairs
         .join(vecs.select(F.col("_id").alias("a"), F.col("_vec").alias("va")), "a")

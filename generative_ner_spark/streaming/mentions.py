@@ -75,6 +75,26 @@ def make_batch_processor(
     return process
 
 
+def word_pattern(term: str) -> str:
+    """Whole-word regex for a lexicon term, shared by the Spark operator
+    AND the q35 DuckDB oracle (both engines speak the RE2/Java-regex
+    common subset this emits, so the two sides stay mechanically
+    identical).
+
+    Escape + lowercase: the text side is lowercased, so an uppercase key
+    would silently never match, and an unescaped metacharacter ('c++')
+    would mis-match or throw at runtime. The word-boundary anchors are
+    CONDITIONAL on the term edge being a word char — '\\b' next to '+'
+    requires an adjacent word char, so r'\\bc\\+\\+\\b' can never match
+    'use c++ here'."""
+    import re as _re
+
+    t = term.lower()
+    pre = r"\b" if _re.match(r"\w", t) else ""
+    post = r"\b" if _re.search(r"\w$", t) else ""
+    return pre + _re.escape(t) + post
+
+
 def windowed_mention_counts_stream(
     docs_stream: DataFrame,
     lexicon: dict[str, str],
@@ -111,24 +131,10 @@ def windowed_mention_counts_stream(
         F.col(ts_col).alias("_ts"),
         F.explode(F.expr("filter(spans, s -> s.kind = 'text')")).alias("_s"),
     ).select("_ts", F.lower(F.col("_s.text")).alias("_t"))
-    import re as _re
-
-    def _word_pat(term: str) -> str:
-        # escape + lowercase the lexicon term: the text side is lowercased,
-        # so an uppercase key would silently never match, and an unescaped
-        # metacharacter ('c++') would mis-match or throw at runtime. The
-        # word-boundary anchors are CONDITIONAL on the term edge being a
-        # word char — '\b' next to '+' requires an adjacent word char, so
-        # r'\bc\+\+\b' can never match 'use c++ here'.
-        t = term.lower()
-        pre = r"\b" if _re.match(r"\w", t) else ""
-        post = r"\b" if _re.search(r"\w$", t) else ""
-        return pre + _re.escape(t) + post
-
     lex = F.array(*[
         F.struct(
             F.lit(label).alias("label"),
-            F.lit(_word_pat(term)).alias("pat"),
+            F.lit(word_pattern(term)).alias("pat"),
         )
         for term, label in sorted(lexicon.items())
     ])

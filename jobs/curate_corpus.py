@@ -75,6 +75,23 @@ def main(argv: list[str] | None = None) -> int:
     from generative_ner_spark.operators import quality as Q
 
     metrics: dict[str, int] = {}
+    prev_cached = None
+
+    def checkpointed(df, stage: str):
+        """Materialize a stage ONCE and record its row count. Without
+        this every downstream metrics count (and the final write) would
+        re-execute the whole upstream chain — the quality regex passes
+        and the dedup shuffles — up to 5x (CLAUDE.md: materialize between
+        chained stages). The previous stage's cache is released as soon
+        as its successor is materialized."""
+        nonlocal prev_cached
+        df = df.persist()
+        metrics[stage] = df.count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = df
+        return df
+
     df = spark.read.parquet(args.input)
     metrics["input_docs"] = df.count()
 
@@ -84,8 +101,8 @@ def main(argv: list[str] | None = None) -> int:
                   max_tokens=args.max_tokens)
     # keep the pipeline schema lean: drop curate's feature columns after
     # the gates fire (they are recomputable; the sink should carry text)
-    df = df.select("doc_id", "text", "lang_pred")
-    metrics["after_quality_exact_dedup"] = df.count()
+    df = checkpointed(df.select("doc_id", "text", "lang_pred"),
+                      "after_quality_exact_dedup")
 
     # 2. PII redaction (narrow projection; text REPLACED by redacted)
     if args.redact_pii:
@@ -95,24 +112,29 @@ def main(argv: list[str] | None = None) -> int:
 
     # 3. fuzzy near-dedup (the heavy stage — runs on the shrunken corpus)
     if args.near_dedup:
-        df = dedup.near_dedup_documents(df, jaccard_threshold=args.jaccard)
-        metrics["after_near_dedup"] = df.count()
+        df = checkpointed(
+            dedup.near_dedup_documents(df, jaccard_threshold=args.jaccard),
+            "after_near_dedup")
 
     # 4. decontamination vs a broadcast eval set
     if args.eval_parquet:
         eval_df = spark.read.parquet(args.eval_parquet)
-        df = decontam.decontaminate(df, eval_df, n=args.decontam_n)
-        metrics["after_decontamination"] = df.count()
+        df = checkpointed(
+            decontam.decontaminate(df, eval_df, n=args.decontam_n),
+            "after_decontamination")
 
     # 5. deterministic language rebalancing
     if args.sample_rates:
-        df = Q.stratified_hash_sample(
-            df, parse_rates(args.sample_rates), "lang_pred",
-            default_rate=args.default_rate)
-        metrics["after_sampling"] = df.count()
+        df = checkpointed(
+            Q.stratified_hash_sample(
+                df, parse_rates(args.sample_rates), "lang_pred",
+                default_rate=args.default_rate),
+            "after_sampling")
 
     curated = os.path.join(args.output, "curated")
     df.write.mode("overwrite").parquet(curated)
+    if prev_cached is not None:
+        prev_cached.unpersist()
     metrics["output_docs"] = spark.read.parquet(curated).count()
 
     # 6. packing layout for the training job

@@ -64,7 +64,18 @@ def generate_with_budget(spark, fused_prompts, responder, args, cache_dir,
     Returns (gens, spent_usd, n_dispatched, n_skipped). Skipped prompts
     were never sent to the responder (no spend); their examples simply
     carry no generation rows, exactly like the reference's mid-run abort.
+
+    Charging matches what the reference CostChecker charges — REAL API
+    responses: only prompts that were FRESH this chunk (one per distinct
+    prompt_hash, not already in the response cache) count against the
+    budget. Cache hits cost nothing, so a budget-aborted run RESUMES past
+    its abort point on rerun (each rerun's early chunks are served free
+    from cache and dispatch advances) instead of stalling at the same
+    chunk forever; shared prompts are charged once, mirroring the
+    dedup-by-hash dispatch.
     """
+    import os
+
     from pyspark.sql import functions as F
 
     from generative_ner_spark.operators import cost, syncgen
@@ -72,7 +83,7 @@ def generate_with_budget(spark, fused_prompts, responder, args, cache_dir,
     bucketed = (
         syncgen.with_sync_prompt_hash(fused_prompts)
         .withColumn("_chunk", F.pmod(F.xxhash64("prompt_hash"), F.lit(n_chunks)))
-        .select("example_id", "prompt", "_chunk")
+        .select("example_id", "prompt", "prompt_hash", "_chunk")
         .persist()
     )
     spent = 0.0
@@ -86,23 +97,33 @@ def generate_with_budget(spark, fused_prompts, responder, args, cache_dir,
         if spent >= args.budget_usd:
             n_skipped += n_chunk
             continue
-        g = syncgen.generate_sync(
-            chunk, responder, model=args.model,
-            temperature=args.temperature, max_tokens=args.max_tokens,
-            top_p=args.top_p, seed=args.seed, n=args.n, cache_dir=cache_dir,
-        )
-        flat = chunk.select(
-            "example_id",
+        # snapshot the distinct prompts this chunk will actually PAY for
+        # (not yet cached) BEFORE generate_sync appends to the cache
+        fresh = chunk.dropDuplicates(["prompt_hash"])
+        if cache_dir and os.path.exists(cache_dir):
+            cached = spark.read.parquet(cache_dir).select(
+                "prompt_hash").distinct()
+            fresh = fresh.join(cached, "prompt_hash", "left_anti")
+        fresh = fresh.select(
+            "prompt_hash",
             F.concat_ws(
                 "\n", F.transform("prompt", lambda m: m["content"])
             ).alias("_p"),
+        ).persist()
+        fresh.count()
+        g = syncgen.generate_sync(
+            chunk.select("example_id", "prompt"), responder,
+            model=args.model, temperature=args.temperature,
+            max_tokens=args.max_tokens, top_p=args.top_p, seed=args.seed,
+            n=args.n, cache_dir=cache_dir,
         )
         gt = g.select(
-            "example_id",
+            "prompt_hash",
             F.coalesce("generated_text", F.lit("")).alias("_g"),
-        )
+        ).dropDuplicates(["prompt_hash"])
         spent += cost.total_cost(cost.with_cost_estimate(
-            flat.join(gt, "example_id"), "_p", "_g", model=args.model))
+            fresh.join(gt, "prompt_hash"), "_p", "_g", model=args.model))
+        fresh.unpersist()
         parts.append(g)
         n_dispatched += n_chunk
     bucketed.unpersist()

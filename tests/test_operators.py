@@ -692,6 +692,26 @@ class TestRunGptCli:
             ["--mode", "estimate", "--input", "synth:10",
              "--output", str(tmp_path / "gb_est")], capsys)[1][0]["prompts"]
         assert cached < n_prompts, (cached, n_prompts)
+        # RESUME past the abort point: cache hits cost nothing (the
+        # reference CostChecker charges real API responses only), so each
+        # rerun's early chunks are served free and dispatch advances —
+        # the run must COMPLETE (rc=0) within a bounded number of reruns
+        # instead of stalling at the same chunk forever
+        prev_cached = cached
+        for attempt in range(12):
+            rc, out = self._run(
+                ["--mode", "generate", "--input", "synth:10",
+                 "--budget-usd", "0.0000001",
+                 "--output", str(tmp_path / "gb")], capsys)
+            now_cached = spark2.read.parquet(
+                str(tmp_path / "gb" / "response_cache")).count()
+            if rc == 0:
+                break
+            assert now_cached > prev_cached, \
+                f"rerun {attempt} made no progress ({now_cached} cached)"
+            prev_cached = now_cached
+        assert rc == 0, "budget-limited run never completed across reruns"
+        assert "skipped_prompts" not in out[-1]
         rc2, out2 = self._run(
             ["--mode", "generate", "--input", "synth:10",
              "--budget-usd", "100.0", "--output", str(tmp_path / "gb2")],
