@@ -4,7 +4,8 @@
               linking -> canonicalization -> triples) over sf0.001 testdata.
 ``queries`` — one entry per implemented operator family (SURVEY.md §2 +
               training-data ops); each returns a DataFrame on (spark, sf_dir).
-``oracle_sql`` — DuckDB-equivalent ANSI SQL for EVERY query (36/36):
+``oracle_sql`` — DuckDB-equivalent ANSI SQL for EVERY queries() entry
+              (the registry, not this docstring, is the count):
               non-SQL-looking operators are made replayable by construction
               — md5 hash families for the minhash/simhash machinery,
               literal-hyperplane replay for the LSH ANN probe, structural
@@ -246,12 +247,35 @@ def q18_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pinned in tests/test_operators.py."""
     em = _t(spark, sf_dir, "embeddings")
     qvec = em.where("vec_id = 0").select("embedding").first()[0]
+    # the oracle's hyperplane literals are generated for dim=64: if the
+    # testdata embeddings are ever regenerated at a different width, fail
+    # HERE with the cause, not downstream as an inscrutable hash mismatch
+    assert len(qvec) == 64, (
+        f"q18 oracle replays dim=64 hyperplanes; embeddings are "
+        f"dim={len(qvec)} — regenerate the oracle literals")
     # planes=6 (64 buckets/table) keeps bucket occupancy high enough on a
     # near-random corpus that the probe gathers >= k candidates
     return similarity.lsh_bucketed_topk(
         em.where("vec_id != 0"), list(qvec), dim=len(qvec), k=10,
         tables=8, planes=6,
     )
+
+
+def _truncated_salted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared q19/q20/q31 near-dup corpus: documents plus 97%-length
+    truncated copies of the first 20 docs (ids +1_000_000). ONE Spark
+    helper mirroring the ONE shared oracle-side _SALTED_DOCS_SQL — a
+    salting edit desyncs all three queries together (loud, not a
+    confusing partial oracle failure). bench.py's fast-family entries
+    reuse it."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.where("doc_id < 20").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(length(text) * 0.97 as int))"
+        ).alias("text"),
+    )
+    return d.unionByName(mutated)
 
 
 def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,16 +286,9 @@ def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding output EQUALS brute-force hamming pairs (pigeonhole), which
     is exactly what the oracle computes. The xxhash64 fast family is pinned
     separately in tests."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = (
-        d.where("doc_id < 20")
-        .select(
-            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
-            F.expr("substring(text, 1, cast(length(text) * 0.97 as int))").alias("text"),
-        )
-    )
     return dedup.simhash_near_dup_pairs(
-        d.unionByName(mutated), max_hamming=3, hash_family="md5",
+        _truncated_salted_docs(spark, sf_dir), max_hamming=3,
+        hash_family="md5",
         # cap lifted so the output is the pure pigeonhole pair set the
         # oracle replays; the hot-bucket cap is exercised by its own test
         max_bucket=1 << 30,
@@ -285,17 +302,10 @@ def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify end-to-end. max_bucket is lifted so the output is the
     pure LSH-blocked pair set (the hot-bucket cap is exercised by the
     canonicalize tests)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = (
-        d.where("doc_id < 20")
-        .select(
-            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
-            F.expr("substring(text, 1, cast(length(text) * 0.97 as int))").alias("text"),
-        )
-    )
     return (
         dedup.near_duplicate_pairs_minhash(
-            d.unionByName(mutated).withColumn("doc_id", F.col("doc_id").cast("string")),
+            _truncated_salted_docs(spark, sf_dir)
+            .withColumn("doc_id", F.col("doc_id").cast("string")),
             jaccard_threshold=0.8,
             max_bucket=1 << 30,
             hash_family="md5",
@@ -543,15 +553,7 @@ def q31_near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster. md5 hash family + lifted bucket cap => the DuckDB oracle
     replays the WHOLE thing, components included (recursive transitive-
     closure CTE)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = (
-        d.where("doc_id < 20")
-        .select(
-            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
-            F.expr("substring(text, 1, cast(length(text) * 0.97 as int))").alias("text"),
-        )
-    )
-    salted = d.unionByName(mutated).withColumn(
+    salted = _truncated_salted_docs(spark, sf_dir).withColumn(
         "doc_id", F.col("doc_id").cast("string"))
     return (
         dedup.near_dedup_documents(
@@ -933,11 +935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # SQL building blocks shared by several oracles (DuckDB dialect).
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[!-/;-@\\[-`{-~]', '', 'g'), "
-    "'\\s+', ' ', 'g'))"
+    "'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 )
 _WS_TOKENS_SQL = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END"
 )
 
 
@@ -992,7 +994,7 @@ def _simhash_pairs_sql(width: int = 60, max_hamming: int = 3) -> str:
     so the oracle checks banding recall exactness, not just the signature.
     """
     token_hashes = (
-        "list_transform(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), "
         "t -> t != ''), t -> " + _MD5_HASH60.format(v="t") + ")"
     )
     bit_terms = []
@@ -1265,7 +1267,7 @@ def _pii_sql() -> str:
 def _decontam_sql(n: int = 8) -> str:
     """q38 oracle: replay eval/corpus split + planted twins + distinct
     word n-gram overlap report."""
-    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    toks = ("list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), "
             "x -> x != '')")
     return f"""
         WITH eval_docs AS (
@@ -1488,8 +1490,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (SELECT user_id,
-                         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                             (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                         -- floor() per timestamp BEFORE differencing:
+                         -- DuckDB epoch() keeps microseconds (DOUBLE)
+                         -- while Spark's unix_timestamp truncates each
+                         -- timestamp to whole seconds, so a raw-epoch
+                         -- gap in (1800, 1801) would open a session only
+                         -- on the DuckDB side
+                         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
                               OR lag(ts) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) IS NULL
                               THEN 1 ELSE 0 END AS new_sess
@@ -1505,7 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_token_counts": f"""
             SELECT doc_id,
                    {_WS_TOKENS_SQL} AS n_ws_tokens,
-                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0))
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', 0))
                        AS n_bpeish_tokens
             FROM documents ORDER BY doc_id""",
         "q11_lang_id": _lang_id_sql(),
@@ -1725,7 +1733,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\\s+'),
+                       list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                    x -> x != '') AS tk
                 FROM docs
             ),

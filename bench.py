@@ -60,19 +60,12 @@ KG_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "16000"))
 
 
 def _salted_docs(spark, sf_dir):
-    """The q19/q20/q31 salted near-dup corpus (originals + truncated
-    copies of the first 20 docs), rebuilt here for the fast-family runs."""
-    from pyspark.sql import functions as F
+    """The q19/q20/q31 salted near-dup corpus for the fast-family runs —
+    the ONE shared helper from the entry module, so bench can never
+    drift from what the oracle entries (and their oracle SQL) use."""
+    import __spark_entry__ as em
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text")
-    mutated = d.where("doc_id < 20").select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
-        F.expr(
-            "substring(text, 1, cast(length(text) * 0.97 as int))"
-        ).alias("text"),
-    )
-    return d.unionByName(mutated)
+    return em._truncated_salted_docs(spark, sf_dir)
 
 
 def _fast_family_queries():

@@ -40,6 +40,21 @@ LEXICON = {
     "vector": "ORG",
 }
 
+# The kg oracles replay this lexicon with raw '\b'+term+'\b' gates and a
+# literal replace() substring count; the gold builder above-the-fold
+# compiles rf"\b{term}\b" verbatim. Both are exact ONLY for pure
+# lowercase word-character terms — a metacharacter term ('node.js')
+# would regex-match on one side and literal-count on the other, and an
+# uppercase term would never match the lowered text. Enforce the
+# contract at import so a lexicon edit fails loudly instead of silently
+# desyncing the oracles (q35's lexicon goes through
+# streaming.mentions.word_pattern and has no such restriction).
+for _t_ in LEXICON:
+    assert re.fullmatch(r"[a-z0-9_]+", _t_), (
+        f"LEXICON term {_t_!r} must be lowercase word characters: the "
+        f"kg_mention_counts/kg_triples oracles and lexicon_golds assume "
+        f"regex-literal equivalence")
+
 NOISELESS = SynthConfig(
     noise_drop_prob=0.0,
     noise_junk_prob=0.0,
