@@ -98,9 +98,19 @@ def _fast_family_queries():
             jaccard_threshold=0.8,
         )
 
+    def q20_oph(spark, sf_dir):
+        # one-permutation hashing signatures (Li et al. 2012): 1 aggregate
+        # update per shingle instead of k=64 — the corpus-scale fast path
+        return dedup.near_duplicate_pairs_minhash(
+            _salted_docs(spark, sf_dir).withColumn(
+                "doc_id", F.col("doc_id").cast("string")),
+            jaccard_threshold=0.8, scheme="oph",
+        )
+
     return {
         "q19_simhash_near_dups_fast": q19_fast,
         "q20_minhash_near_dups_fast": q20_fast,
+        "q20_minhash_near_dups_oph": q20_oph,
         "q31_near_dedup_documents_fast": q31_fast,
     }
 

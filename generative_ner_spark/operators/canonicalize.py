@@ -135,6 +135,54 @@ def minhash_df(sh_df: DataFrame, id_col: str = "id",
     )
 
 
+def minhash_df_oph(sh_df: DataFrame, id_col: str = "id",
+                   shingle_col: str = "shingles", k: int = 64,
+                   hash_family: str = "xxhash64") -> DataFrame:
+    """(id, shingles) -> (id, minhash ARRAY<LONG>) via ONE-PERMUTATION
+    HASHING (Li, Owen & Zhang, NeurIPS 2012): each shingle's single hash
+    lands in bucket h mod k and each bucket keeps its min — ONE aggregate
+    update per shingle instead of the k-universal-hash family's k, i.e.
+    ~k× less aggregation CPU on the stage that dominates corpus-scale
+    dedup. The trade: per-signature-slot variance is higher and short
+    documents leave empty buckets.
+
+    Empty buckets are DENSIFIED deterministically as a pure function of
+    the set (pmod(global_min + bucket * C, p)), so identical shingle sets
+    always produce identical signatures (byte-reproducible, any cluster
+    size); near-identical sets may disagree on densified slots, mildly
+    lowering banding recall for short docs — the exact-Jaccard verify
+    stage is unaffected, so precision is identical to the k-min scheme.
+
+    Distributed shape: explode -> groupBy(id, bucket) min (map-side
+    combine collapses to <= k rows per id BEFORE the shuffle) ->
+    groupBy(id) map_from_entries -> O(1)-tree transform densification.
+    """
+    exploded = sh_df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_col).alias("_s")
+    ).select("id", _shingle_hash("_s", hash_family).alias("_h"))
+    per_bucket = (
+        exploded
+        .withColumn("_b", F.pmod("_h", F.lit(k)).cast("int"))
+        .groupBy("id", "_b")
+        .agg(F.min("_h").alias("_mh"))
+    )
+    per_id = per_bucket.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_b", "_mh"))
+        ).alias("_m"),
+        F.min("_mh").alias("_gmin"),
+    )
+    C = 0x9E3779B1  # odd constant spreads densified slots over [0, p)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")),
+            F.pmod(F.col("_gmin") + i.cast("long") * F.lit(C), F.lit(_MH_P)),
+        ),
+    )
+    return per_id.select("id", sig.alias("minhash"))
+
+
 def lsh_candidate_pairs(
     entities: DataFrame,
     id_col: str = "entity_id",
@@ -146,6 +194,7 @@ def lsh_candidate_pairs(
     max_bucket: int = 64,
     metrics: dict | None = None,
     hash_family: str = "xxhash64",
+    scheme: str = "kmin",
 ) -> DataFrame:
     """(id, name) -> verified near-duplicate pairs (a < b, jaccard >= t).
 
@@ -175,7 +224,15 @@ def lsh_candidate_pairs(
     # shingle sets reused on three plan branches (banding + both verify
     # sides) — materialize once
     sh = sh.persist()
-    mh = minhash_df(sh, "id", "shingles", k=k, hash_family=hash_family)
+    if scheme == "oph":
+        # one-permutation hashing: ~k× less aggregation CPU on the
+        # signature stage (see minhash_df_oph); banding/verify unchanged
+        mh = minhash_df_oph(sh, "id", "shingles", k=k,
+                            hash_family=hash_family)
+    elif scheme == "kmin":
+        mh = minhash_df(sh, "id", "shingles", k=k, hash_family=hash_family)
+    else:
+        raise ValueError(f"unknown minhash scheme: {scheme}")
     # SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
     # arrays through the self-join shuffles ~|shingles| strings per banded
     # row — the dominant cost at corpus scale; join them back per-id after

@@ -62,6 +62,7 @@ def near_duplicate_pairs_minhash(
     jaccard_threshold: float = 0.8,
     max_bucket: int = 64,
     hash_family: str = "xxhash64",
+    scheme: str = "kmin",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs (a < b, exact jaccard >= threshold).
 
@@ -74,7 +75,7 @@ def near_duplicate_pairs_minhash(
     return lsh_candidate_pairs(
         df.select(F.col(id_col).alias("entity_id"), F.col(text_col).alias("name")),
         k=k, bands=bands, n=shingle_n, jaccard_threshold=jaccard_threshold,
-        max_bucket=max_bucket, hash_family=hash_family,
+        max_bucket=max_bucket, hash_family=hash_family, scheme=scheme,
     )
 
 
@@ -99,6 +100,7 @@ def near_dedup_documents(
     jaccard_threshold: float = 0.8,
     max_bucket: int = 64,
     hash_family: str = "xxhash64",
+    scheme: str = "kmin",
 ) -> DataFrame:
     """Fuzzy deduplication: df minus near-duplicates, keeping the min-id
     document of every near-dup CLUSTER (the RefinedWeb/Dolma-style fuzzy
@@ -120,7 +122,7 @@ def near_dedup_documents(
     pairs = near_duplicate_pairs_minhash(
         df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
-        hash_family=hash_family,
+        hash_family=hash_family, scheme=scheme,
     )
     comp = connected_components(pairs.select("a", "b"))
     drop = comp.where(F.col("id") != F.col("component")).select(

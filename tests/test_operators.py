@@ -1170,6 +1170,39 @@ class TestDedupSimilarity:
         assert {("0", "1"), ("0", "2"), ("1", "2")} <= got
         assert all(int(a) < 100 and int(b) < 100 for a, b in got)
 
+    def test_oph_scheme_parity_and_determinism(self, spark):
+        """One-permutation hashing (scheme='oph'): planted near-dups are
+        still found (banding recall holds for long docs), identical
+        shingle sets produce byte-identical signatures (densification is
+        a pure function of the set), short documents with mostly-empty
+        buckets don't crash or emit nulls, and the component-wise fuzzy
+        dedup built on it keeps one survivor per cluster."""
+        from generative_ner_spark.operators.canonicalize import (
+            minhash_df_oph, with_shingles,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [(str(i), base[: len(base) - i]) for i in range(3)]
+        rows += [(str(100 + i),
+                  f"{'completely different text block %d ' % i * 12}")
+                 for i in range(3)]
+        rows += [("200", "tiny"), ("201", "tiny")]  # < k shingles, identical
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        pairs = dedup.near_duplicate_pairs_minhash(
+            df, jaccard_threshold=0.8, scheme="oph")
+        got = {(r.a, r.b) for r in pairs.collect()}
+        assert {("0", "1"), ("0", "2"), ("1", "2"), ("200", "201")} <= got
+        assert all((int(a) < 100) == (int(b) < 100) for a, b in got)
+        # identical sets -> identical signatures, no nulls anywhere
+        sh = with_shingles(df.selectExpr("doc_id as id", "text as nm"),
+                           "nm", n=5).select("id", "shingles")
+        sigs = {r.id: tuple(r.minhash) for r in minhash_df_oph(sh).collect()}
+        assert sigs["200"] == sigs["201"]
+        assert all(len(s) == 64 and None not in s for s in sigs.values())
+        kept = {r.doc_id for r in dedup.near_dedup_documents(
+            df, jaccard_threshold=0.8, scheme="oph").collect()}
+        assert kept == {"0", "100", "101", "102", "200"}
+
     def test_simhash_hamming_zero_for_identical(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
