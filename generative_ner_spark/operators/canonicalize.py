@@ -58,42 +58,6 @@ def _mh_coeffs(k: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(k)]
 
 
-def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
-                 out: str = "minhash") -> DataFrame:
-    """k MinHash values via ONE string hash pass + k arithmetic permutations.
-
-    minhash[i] = min over shingles s of (a_i * h(s) + b_i) mod p with
-    h(s) = xxhash64(s) mod p — the standard universal-hash family. Hashing
-    each shingle once and permuting arithmetically is ~k× cheaper than k
-    independent string hashes (the naive form dominated the whole dedup
-    benchmark at sf0.1)."""
-    coeffs = _mh_coeffs(k)
-    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
-    hashed = F.transform(
-        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P))
-    )
-    # ONE aggregate pass maintaining all k minima in an array accumulator:
-    # the expression tree is O(1) in k. (A naive k× array_min(transform(..))
-    # tree cost ~60s of driver-side Catalyst/janino time per fresh plan —
-    # fixed overhead that dwarfed small-scale runs and re-paid on every
-    # query; execution work is identical.)
-    minhash = F.aggregate(
-        F.col("_mh_hs"),
-        F.array_repeat(F.lit(_MH_P).cast("long"), k),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(h * a + b, F.lit(_MH_P))),
-            lambda x, y: F.least(x, y),
-        ),
-    )
-    return (
-        df.withColumn("_mh_hs", hashed)
-        .withColumn(out, minhash)
-        .drop("_mh_hs")
-    )
-
-
 def _shingle_hash(col: str, hash_family: str):
     """shingle -> value in [0, p): xxhash64 (fast path) or md5-prefix
     (cross-engine path — DuckDB computes the identical value from the same
@@ -183,6 +147,58 @@ def minhash_df_oph(sh_df: DataFrame, id_col: str = "id",
     return per_id.select("id", sig.alias("minhash"))
 
 
+def capped_self_join_pairs(
+    rows: DataFrame,
+    bucket_cols: tuple,
+    id_col: str = "id",
+    max_bucket: int = 64,
+    metrics: dict | None = None,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """THE candidate-pair lifecycle shared by every banding family
+    (MinHash bands here, SimHash chunks in dedup.py, hyperplane buckets
+    in similarity.py): count bucket occupancy (persisted — the optional
+    metrics job must not re-run the agg), drop buckets above
+    ``max_bucket`` (bounding the worst-case pair blowup a degenerate
+    corpus causes), self-join within surviving buckets, and emit
+    deduplicated (a, b[, <payload>_a, <payload>_b]) with a < b,
+    eagerly ``localCheckpoint``ed so callers can release their upstream
+    caches immediately. ``metrics`` receives {"capped_buckets",
+    "capped_rows"} — the reported recall loss of the cap.
+    """
+    keys = list(bucket_cols)
+    counts = rows.groupBy(*keys).agg(F.count("*").alias("_bc")).persist()
+    if metrics is not None:
+        over = (
+            counts.where(F.col("_bc") > max_bucket)
+            .agg(F.count("*").alias("b"),
+                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
+            .first()
+        )
+        metrics["capped_buckets"] = over["b"]
+        metrics["capped_rows"] = int(over["r"])
+    capped = rows.join(counts.where(F.col("_bc") <= max_bucket), keys)
+    left = capped.select(
+        *keys, F.col(id_col).alias("a"),
+        *[F.col(p).alias(f"{p}_a") for p in payload_cols],
+    )
+    right = capped.select(
+        *keys, F.col(id_col).alias("b"),
+        *[F.col(p).alias(f"{p}_b") for p in payload_cols],
+    )
+    pairs = (
+        left.join(right, keys)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b",
+                *[f"{p}_a" for p in payload_cols],
+                *[f"{p}_b" for p in payload_cols])
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()  # eager: materialize candidates once
+    )
+    counts.unpersist()
+    return pairs
+
+
 def lsh_candidate_pairs(
     entities: DataFrame,
     id_col: str = "entity_id",
@@ -216,6 +232,12 @@ def lsh_candidate_pairs(
     consumers (connected components' multi-pass loop) never re-run the
     blocking plan.
     """
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: the banding would "
+            f"silently ignore the last {k - bands * (k // bands)} minhash "
+            f"slots and the effective S-curve would differ from the "
+            f"requested (k, bands) tuning")
     r = k // bands
     sh = with_shingles(
         entities.select(F.col(id_col).alias("id"), F.col(name_col).alias("nm")),
@@ -250,32 +272,8 @@ def lsh_candidate_pairs(
         ).alias("band", "band_hash"),
     )
     # cap pathological buckets (hot shingle patterns) — bounded pair blowup
-    # persisted: with metrics requested the counts agg would otherwise run
-    # twice (once for the .first() metrics job, again inside the join) —
-    # and its upstream is the k-aggregate minhash pass, not just the
-    # cached shingles
-    bucket_counts = banded.groupBy("band", "band_hash").agg(
-        F.count("*").alias("_bc")).persist()
-    if metrics is not None:
-        over = (
-            bucket_counts.where(F.col("_bc") > max_bucket)
-            .agg(F.count("*").alias("b"),
-                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
-            .first()
-        )
-        metrics["capped_buckets"] = over["b"]
-        metrics["capped_rows"] = int(over["r"])
-    capped = banded.join(
-        bucket_counts.where(F.col("_bc") <= max_bucket), ["band", "band_hash"]
-    )
-    a = capped.select("band", "band_hash", F.col("id").alias("a"))
-    b = capped.select("band", "band_hash", F.col("id").alias("b"))
-    pairs = (
-        a.join(b, ["band", "band_hash"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    pairs = capped_self_join_pairs(
+        banded, ("band", "band_hash"), "id", max_bucket, metrics)
     verified = (
         pairs
         .join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
@@ -290,7 +288,6 @@ def lsh_candidate_pairs(
     )
     verified = verified.localCheckpoint()  # eager: materialize pairs once
     sh.unpersist()  # shingle cache no longer needed — don't leak it
-    bucket_counts.unpersist()
     return verified
 
 
@@ -354,6 +351,11 @@ def connected_components(
     "regime": "driver"|"distributed"}.
     """
     spark = edges.sparkSession
+    # materialize ONCE up front: the regime-selecting count plus either
+    # regime's consumption (driver collect / distributed symmetrize) would
+    # otherwise execute the caller's whole upstream plan twice — for a
+    # generic caller that can be an entire LSH blocking pass
+    edges = edges.localCheckpoint()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         parent: dict = {}
@@ -376,7 +378,12 @@ def connected_components(
         out = [(x, find(x)) for x in sorted(nodes)]
         if stats is not None:
             stats.update(rounds=0, converged=True, regime="driver")
-        return spark.createDataFrame(out, "id string, component string")
+        # schema DERIVED from the input id type: a hardcoded string schema
+        # silently coerced long ids to strings here while the distributed
+        # regime preserved them — the output type would flip with edge
+        # count, and downstream joins would lean on implicit casts
+        id_t = edges.schema["a"].dataType.simpleString()
+        return spark.createDataFrame(out, f"id {id_t}, component {id_t}")
 
     cur = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))

@@ -72,8 +72,12 @@ def near_duplicate_pairs_minhash(
     share vocabulary (J~0.5-0.6) collide rarely — r=4 flooded the candidate
     stage with same-vocabulary false candidates on realistic corpora.
     """
+    # NULL text -> '' so degenerate docs behave like exact dedup (which
+    # groups NULL fingerprints together); unguarded, a NULL name yields
+    # NULL shingles and the row silently vanishes from pair generation
     return lsh_candidate_pairs(
-        df.select(F.col(id_col).alias("entity_id"), F.col(text_col).alias("name")),
+        df.select(F.col(id_col).alias("entity_id"),
+                  F.coalesce(F.col(text_col), F.lit("")).alias("name")),
         k=k, bands=bands, n=shingle_n, jaccard_threshold=jaccard_threshold,
         max_bucket=max_bucket, hash_family=hash_family, scheme=scheme,
     )
@@ -200,8 +204,14 @@ def simhash_near_dup_pairs(
     # sides): persist so the 64-aggregate signature pass runs ONCE, and
     # eagerly materialize the pair set below before unpersisting — the
     # same lifecycle as canonicalize.lsh_candidate_pairs
-    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col,
-                      hash_family=hash_family).select("id", "simhash").persist()
+    # NULL text -> '' (same contract as the minhash path and exact dedup):
+    # a NULL simhash would be silently dropped by the NULL-key joins below,
+    # so two NULL-text docs would never pair while ''-text docs all do
+    sh = with_simhash(
+        df.select(F.col(id_col).alias("id"),
+                  F.coalesce(F.col(text_col), F.lit("")).alias(text_col)),
+        text_col, hash_family=hash_family,
+    ).select("id", "simhash").persist()
     chunks = sh.select(
         "id",
         "simhash",
@@ -216,37 +226,22 @@ def simhash_near_dup_pairs(
     )
     # persisted: with metrics requested the counts agg would otherwise run
     # twice (once for the .first() metrics job, again inside the join)
-    bucket_counts = chunks.groupBy("chunk_idx", "chunk").agg(
-        F.count("*").alias("_bc")).persist()
-    if metrics is not None:
-        over = (
-            bucket_counts.where(F.col("_bc") > max_bucket)
-            .agg(F.count("*").alias("b"),
-                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
-            .first()
-        )
-        metrics["capped_buckets"] = over["b"]
-        metrics["capped_rows"] = int(over["r"])
-    capped = chunks.join(
-        bucket_counts.where(F.col("_bc") <= max_bucket),
-        ["chunk_idx", "chunk"],
+    from generative_ner_spark.operators.canonicalize import (
+        capped_self_join_pairs,
     )
-    a = capped.select(F.col("chunk_idx"), F.col("chunk"),
-                      F.col("id").alias("a"), F.col("simhash").alias("sh_a"))
-    b = capped.select(F.col("chunk_idx"), F.col("chunk"),
-                      F.col("id").alias("b"), F.col("simhash").alias("sh_b"))
-    pairs = (
-        a.join(b, ["chunk_idx", "chunk"])
-        .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+
+    cand = capped_self_join_pairs(
+        chunks, ("chunk_idx", "chunk"), "id", max_bucket, metrics,
+        payload_cols=("simhash",),
+    )
+    sh.unpersist()  # candidates are materialized; signature cache done
+    return (
+        cand
+        .withColumn("hamming", F.bit_count(
+            F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
-    pairs = pairs.localCheckpoint()  # eager: materialize pairs once
-    sh.unpersist()
-    bucket_counts.unpersist()
-    return pairs
 
 
 def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
@@ -265,9 +260,14 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     ordered rebuild via sort_array over collected (idx, para) structs (no
     window, no global sort). Fully SQL-expressible => full q41 oracle.
     """
+    # \Q...\E-quote the separator: F.split treats its pattern as a regex
+    # while the concat_ws rebuild uses the literal — an unquoted sep='.'
+    # (sentence dedup) would split on ANY character, explode every doc
+    # into empty strings, and silently drop the whole corpus
+    sep_pat = "\\Q" + sep + "\\E"
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+        F.posexplode(F.split(F.col(text_col), sep_pat)).alias("idx", "para"),
     ).where(F.col("para") != "")
     hashed = paras.withColumn("ph", F.md5("para"))
     winners = hashed.groupBy("ph").agg(

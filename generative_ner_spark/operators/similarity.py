@@ -48,7 +48,13 @@ def _norm(a):
 
 
 def cosine_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide, not '/': Spark 4 ANSI mode raises DIVIDE_BY_ZERO on a
+    # double zero denominator, so ONE all-zero embedding (an empty-doc
+    # vector — and zero vectors reliably enter candidate sets: they land
+    # in LSH bucket 0 / one IVF cell) would crash every JVM scoring path.
+    # A zero-norm side yields NULL cosine instead; desc ordering sorts
+    # NULLs last, so degenerate vectors simply never rank.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -186,15 +192,27 @@ def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
     return out
 
 
-def _hyperplane_sign(vec_col: str, dim: int, table: int, plane: int):
-    """sign(v · h) for the deterministic hyperplane (t, p)."""
-    hp = F.array(*[F.lit(x) for x in _hyperplane(dim, table, plane)])
-    terms = F.aggregate(
-        F.zip_with(F.col(vec_col), hp, lambda v, h: v.cast("double") * h),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (terms > 0).cast("int")
+def _bucket_udf(dim: int, tables: int, planes: int):
+    """THE bucket computation, shared by every corpus-side call site
+    (with_lsh_buckets and build_lsh_index) so a change to the encoding —
+    sign convention, plane count limits — can never diverge corpus and
+    index buckets: one Arrow pandas UDF computing sign(V @ H^T) for all
+    tables*planes hyperplanes in a single numpy matmul per batch. The
+    query side shares the SAME H/powers convention via _query_buckets."""
+    H = np.array(
+        [_hyperplane(dim, t, p) for t in range(tables) for p in range(planes)],
+        dtype=np.float64,
+    )  # (tables*planes, dim)
+    powers = (2 ** np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(list(vecs), dtype=np.float64)          # (n, dim)
+        signs = (V @ H.T > 0).reshape(len(V), tables, planes)  # (n, t, p)
+        bk = (signs * powers).sum(axis=2).astype("int32")      # (n, tables)
+        return pd.Series(list(bk))
+
+    return buckets_udf
 
 
 def with_lsh_buckets(
@@ -214,23 +232,7 @@ def with_lsh_buckets(
     numpy is the vectorized path here, exactly the pandas-UDF use case).
     Hyperplanes stay deterministic (md5-derived, same as before).
     """
-    H = np.array(
-        [
-            _hyperplane(dim, t, p)
-            for t in range(tables)
-            for p in range(planes)
-        ],
-        dtype=np.float64,
-    )  # (tables*planes, dim)
-    powers = (2 ** np.arange(planes)).astype(np.int64)
-
-    @pandas_udf("array<int>")
-    def buckets_udf(vecs: pd.Series) -> pd.Series:
-        V = np.asarray(list(vecs), dtype=np.float64)          # (n, dim)
-        signs = (V @ H.T > 0).reshape(len(V), tables, planes)  # (n, t, p)
-        bk = (signs * powers).sum(axis=2).astype("int32")      # (n, tables)
-        return pd.Series(list(bk))
-
+    buckets_udf = _bucket_udf(dim, tables, planes)
     return (
         embeddings.withColumn("_bk", buckets_udf(F.col(vec_col)))
         .select(
@@ -273,21 +275,9 @@ def build_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> LshIndex:
-    """Bucket the corpus once (single numpy-matmul pandas UDF pass)."""
-    H = np.array(
-        [_hyperplane(dim, t, p) for t in range(tables) for p in range(planes)],
-        dtype=np.float64,
-    )
-    powers = (2 ** np.arange(planes)).astype(np.int64)
-    n_tables = tables
-
-    @pandas_udf("array<int>")
-    def buckets_udf(vecs: pd.Series) -> pd.Series:
-        V = np.asarray(list(vecs), dtype=np.float64)
-        signs = (V @ H.T > 0).reshape(len(V), n_tables, planes)
-        bk = (signs * powers).sum(axis=2).astype("int32")
-        return pd.Series(list(bk))
-
+    """Bucket the corpus once (single numpy-matmul pandas UDF pass —
+    the SAME _bucket_udf with_lsh_buckets uses)."""
+    buckets_udf = _bucket_udf(dim, tables, planes)
     df = embeddings.select(
         id_col, vec_col, buckets_udf(F.col(vec_col)).alias("_bk")
     )
@@ -360,18 +350,12 @@ def probe_lsh_index_many(
     )
     if not qrows:
         return spark.createDataFrame([], out_schema)
-    H = np.array(
-        [_hyperplane(index.dim, t, p)
-         for t in range(index.tables) for p in range(index.planes)],
-        dtype=np.float64,
-    )
-    powers = (2 ** np.arange(index.planes)).astype(np.int64)
     qb_rows = []
     for r in qrows:
-        v = np.asarray([float(x) for x in r[1]], dtype=np.float64)
-        signs = (H @ v > 0).reshape(index.tables, index.planes)
-        for t in range(index.tables):
-            qb_rows.append((r[0], t, int((signs[t] * powers).sum())))
+        # SAME query-side bucket computation as the single probe
+        for t, bk in enumerate(_query_buckets(
+                list(r[1]), index.dim, index.tables, index.planes)):
+            qb_rows.append((r[0], t, bk))
     qb = spark.createDataFrame(
         qb_rows,
         f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
@@ -573,6 +557,12 @@ def build_ivf_index(
         .limit(sample_size)
         .collect()
     )
+    if not sample_rows:
+        # fail with the cause: np.asarray([]) is 1-D and the k-means
+        # indexing below would raise an opaque IndexError
+        raise ValueError(
+            "build_ivf_index: embeddings frame is empty — cannot train "
+            "coarse centroids on zero sample rows")
     S = np.asarray([list(r["_v"]) for r in sample_rows], dtype=np.float64)
     C = _kmeans_centroids(S, n_cells, kmeans_iters, seed)
 
@@ -749,34 +739,13 @@ def embedding_near_dup_pairs(
     b = with_lsh_buckets(
         embeddings.select(id_col, vec_col), dim, tables, planes, vec_col
     ).select("lsh_table", "bucket", id_col).persist()
-    # persisted: with metrics requested the counts agg would otherwise run
-    # twice (once for the .first() metrics job, again inside the join)
-    bucket_counts = b.groupBy("lsh_table", "bucket").agg(
-        F.count("*").alias("_bc")).persist()
-    if metrics is not None:
-        over = (
-            bucket_counts.where(F.col("_bc") > max_bucket)
-            .agg(F.count("*").alias("b"),
-                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
-            .first()
-        )
-        metrics["capped_buckets"] = over["b"]
-        metrics["capped_rows"] = int(over["r"])
-    capped = b.join(
-        bucket_counts.where(F.col("_bc") <= max_bucket),
-        ["lsh_table", "bucket"],
-    ).select("lsh_table", "bucket", id_col)
-    left = capped.select("lsh_table", "bucket", F.col(id_col).alias("a"))
-    right = capped.select("lsh_table", "bucket", F.col(id_col).alias("b"))
-    pairs = (
-        left.join(right, ["lsh_table", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
+    from generative_ner_spark.operators.canonicalize import (
+        capped_self_join_pairs,
     )
-    pairs = pairs.localCheckpoint()  # eager: materialize candidates once
-    b.unpersist()
-    bucket_counts.unpersist()
+
+    pairs = capped_self_join_pairs(
+        b, ("lsh_table", "bucket"), id_col, max_bucket, metrics)
+    b.unpersist()  # candidates are materialized; banding cache done
     return (
         pairs
         .join(vecs.select(F.col("_id").alias("a"), F.col("_vec").alias("va")), "a")

@@ -1170,6 +1170,75 @@ class TestDedupSimilarity:
         assert {("0", "1"), ("0", "2"), ("1", "2")} <= got
         assert all(int(a) < 100 and int(b) < 100 for a, b in got)
 
+    def test_zero_norm_vectors_dont_crash_scoring(self, spark):
+        """ANSI mode raises DIVIDE_BY_ZERO on double /0: an all-zero
+        embedding must not crash the JVM scoring paths — it gets a NULL
+        cosine and never ranks (desc ordering sorts NULLs last), matching
+        the numpy kNN path's NaN handling."""
+        rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+                (2, [0.0, 0.0, 0.0, 0.0])]  # zero-norm
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        top = similarity.brute_force_topk(em, [1.0, 0.0, 0.0, 0.0], k=3)
+        got = [r.vec_id for r in top.collect()]
+        assert got[:2] == [0, 1] and got[-1] == 2  # zero vec ranks last
+        # the LSH pair path must also survive (zero vecs share bucket 0)
+        pairs = similarity.embedding_near_dup_pairs(
+            em, dim=4, tables=2, planes=3, cosine_threshold=0.5)
+        assert {(r.a, r.b) for r in pairs.collect()} == {(0, 1)}
+
+    def test_lsh_k_bands_divisibility_validated(self, spark):
+        from generative_ner_spark.operators.canonicalize import (
+            lsh_candidate_pairs,
+        )
+
+        df = spark.createDataFrame([("e1", "acme")],
+                                   "entity_id string, name string")
+        with pytest.raises(ValueError, match="not divisible"):
+            lsh_candidate_pairs(df, k=64, bands=12)
+
+    def test_paragraph_dedup_literal_separator(self, spark):
+        """sep is a LITERAL (quoted into the split regex): sep='.' is
+        sentence-level dedup, not match-any-character corpus vanishing."""
+        rows = [(1, "shared sentence.unique one"),
+                (2, "shared sentence.unique two")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in
+               dedup.dedup_paragraphs(df, sep=".").collect()}
+        assert out == {1: "shared sentence.unique one", 2: "unique two"}
+
+    def test_null_text_docs_pair_like_empty(self, spark):
+        """NULL-text docs follow the exact-dedup contract (degenerate docs
+        group together) in BOTH near-dup families instead of silently
+        vanishing through NULL join keys."""
+        rows = [(1, None), (2, None), (3, "real content here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        mh = dedup.near_duplicate_pairs_minhash(
+            df.withColumn("doc_id", F.col("doc_id").cast("string")),
+            jaccard_threshold=0.8)
+        assert {(r.a, r.b) for r in mh.collect()} == {("1", "2")}
+        sh = dedup.simhash_near_dup_pairs(df)
+        assert {(r.a, r.b) for r in sh.collect()} == {(1, 2)}
+
+    def test_connected_components_preserves_id_type(self, spark):
+        """Both CC regimes must return the INPUT id type — the driver
+        regime used to hardcode strings, so the output schema flipped
+        with edge count."""
+        from generative_ner_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        for thr in (10**9, 0):  # driver and distributed regimes
+            out = connected_components(edges, driver_threshold=thr)
+            assert out.schema["id"].dataType.simpleString() == "bigint", thr
+            assert {(r.id, r.component) for r in out.collect()} == \
+                {(1, 1), (2, 1), (3, 1)}, thr
+
+    def test_ivf_empty_corpus_raises_clearly(self, spark):
+        em = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="empty"):
+            similarity.build_ivf_index(em, dim=4)
+
     def test_oph_scheme_parity_and_determinism(self, spark):
         """One-permutation hashing (scheme='oph'): planted near-dups are
         still found (banding recall holds for long docs), identical
