@@ -1526,7 +1526,10 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(lower(text),
                          '\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b', 0))
                          / greatest({_WS_TOKENS_SQL}, 1), 6) AS q_stopword_ratio,
-                   round((length(text) - ({_WS_TOKENS_SQL} - 1))
+                   round(list_sum(list_transform(
+                             list_filter(regexp_split_to_array(trim(text),
+                                 '[ \\t\\n\\x0b\\f\\r]+'), x -> x != ''),
+                             t -> length(t)))
                          / greatest({_WS_TOKENS_SQL}, 1), 6) AS q_mean_token_len
             FROM documents ORDER BY doc_id""",
         "q13_fingerprint_dedup": f"""

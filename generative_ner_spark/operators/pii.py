@@ -18,6 +18,13 @@ Pattern design notes:
 * Redaction order is email -> ip -> phone. An email never contains
   whitespace and requires an alphabetic TLD, so the later passes cannot
   corrupt earlier placeholders (placeholders contain no digits).
+* Counts are RAW per-pattern occurrences while redaction is sequential:
+  an IP or phone-shaped run INSIDE an email address counts toward
+  n_ips/n_phones but is consumed by the earlier <EMAIL> replacement, so
+  per-type counts can exceed the placeholders in the redacted text.
+  Consumers needing placeholder-exact counts should count on the
+  redacted column; the raw counts are the right signal for routing/
+  thresholding (they measure PII density, not replacement layout).
 """
 
 from __future__ import annotations

@@ -102,6 +102,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(EN_STOPWORDS), F.lit(0))
     )
+    # TRUE mean over token lengths: the (chars - separators)/tokens
+    # shortcut assumed exactly one separator char between tokens, so
+    # runs of whitespace or padding (common in scraped corpora) inflated
+    # the feature and skewed any threshold on it
+    token_len_sum = F.expr(
+        f"aggregate(filter(split(trim({text_col}), '\\\\s+'), x -> x != ''), "
+        f"0, (acc, t) -> acc + length(t))"
+    )
     return df.select(
         "*",
         n_chars.alias("q_n_chars"),
@@ -109,7 +117,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("q_punct_ratio"),
         F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("q_stopword_ratio"),
         F.round(
-            (n_chars - (n_tokens - F.lit(1))) / F.greatest(n_tokens, F.lit(1)), 6
+            token_len_sum / F.greatest(n_tokens, F.lit(1)), 6
         ).alias("q_mean_token_len"),
     )
 
@@ -161,6 +169,21 @@ def curate(
     )
 
 
+def _md5_mod_1m(key_col: str, salt: str) -> Column:
+    """pmod(md5-prefix(salt:key), 10^6) as pure F expressions — salt and
+    key never ride inside a SQL string (a quote in either would break an
+    interpolated F.expr at parse time; packing._md5_key documents the
+    same hazard). Shared by both sampling entry points."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(1_000_000))
+
+
 def hash_sample_cond(key_col: str, rate: float, salt: str = "sample") -> Column:
     """Deterministic hash-sampling predicate: keep a row iff
     md5(salt:key) mod 10^6 < rate * 10^6.
@@ -174,9 +197,7 @@ def hash_sample_cond(key_col: str, rate: float, salt: str = "sample") -> Column:
     # would truncate to 299999 and disagree with an oracle that writes the
     # intended threshold 300000
     threshold = round(rate * 1_000_000)
-    h = (f"pmod(cast(conv(substring(md5(concat('{salt}:', "
-         f"cast({key_col} as string))), 1, 15), 16, 10) as long), 1000000)")
-    return F.expr(f"{h} < {threshold}")
+    return _md5_mod_1m(key_col, salt) < F.lit(threshold)
 
 
 def stratified_hash_sample(
@@ -196,11 +217,7 @@ def stratified_hash_sample(
     for g, r in sorted(rates.items()):
         threshold = F.when(F.col(group_col) == g,
                            F.lit(round(r * 1_000_000))).otherwise(threshold)
-    h = F.expr(
-        f"pmod(cast(conv(substring(md5(concat('{salt}:', "
-        f"cast({key_col} as string))), 1, 15), 16, 10) as long), 1000000)"
-    )
-    return df.where(h < threshold)
+    return df.where(_md5_mod_1m(key_col, salt) < threshold)
 
 
 def repetition_features(df: DataFrame, id_col: str = "doc_id",

@@ -90,8 +90,12 @@ def word_pattern(term: str) -> str:
     import re as _re
 
     t = term.lower()
-    pre = r"\b" if _re.match(r"\w", t) else ""
-    post = r"\b" if _re.search(r"\w$", t) else ""
+    # edge test against the ENGINES' word class, not Python's: Java regex
+    # and RE2 treat \b/\w as ASCII-only while Python's \w is Unicode-
+    # aware — deciding with \w would give 'café' a trailing \b that can
+    # never match at a word edge in either engine (silent zero matches)
+    pre = r"\b" if _re.match(r"[A-Za-z0-9_]", t) else ""
+    post = r"\b" if _re.search(r"[A-Za-z0-9_]$", t) else ""
     return pre + _re.escape(t) + post
 
 
@@ -138,15 +142,23 @@ def windowed_mention_counts_stream(
         )
         for term, label in sorted(lexicon.items())
     ])
-    mentions = (
-        texts.select("_ts", F.explode(lex).alias("_lx"), "_t")
-        .select(
-            "_ts",
-            F.col("_lx.label").alias("label"),
+    # counts are computed INSIDE a transform over the lexicon array and
+    # only the small (label, n) structs explode — the exploded-lexicon
+    # form replicated the full document text |lexicon| times on the
+    # continuous-ingest hot path just to carry it to each count
+    per_label = F.transform(
+        lex,
+        lambda p: F.struct(
+            p["label"].alias("label"),
             F.size(
-                F.regexp_extract_all("_t", F.col("_lx.pat"), F.lit(0))
+                F.regexp_extract_all(F.col("_t"), p["pat"], F.lit(0))
             ).alias("_n"),
-        )
+        ),
+    )
+    mentions = (
+        texts.select("_ts", F.explode(per_label).alias("_x"))
+        .select("_ts", F.col("_x.label").alias("label"),
+                F.col("_x._n").alias("_n"))
         .where(F.col("_n") > 0)
     )
     return (
@@ -168,14 +180,26 @@ def _fingerprinted(docs: DataFrame, ts_col: str) -> DataFrame:
     text spans — the SAME key the batch exact-dedup operator uses)."""
     from generative_ner_spark.operators.quality import fingerprint_col
 
-    return docs.select(
+    flat = docs.select(
         "doc_id",
         F.col(ts_col).alias("ingest_ts"),
         F.expr(
             "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
             " s -> s.text))"
         ).alias("text"),
-    ).withColumn("fingerprint", fingerprint_col("text"))
+        F.expr(
+            "concat_ws(',', transform(filter(spans, s -> s.kind != 'text'),"
+            " s -> s.media_ref))"
+        ).alias("_media_refs"),
+    )
+    # media-only docs must NOT collapse onto md5('') — two unrelated
+    # image-only documents share no content, so their dedup key falls
+    # back to the media-ref list instead of the (empty) text
+    return flat.withColumn(
+        "fingerprint",
+        F.when(F.col("text") != "", fingerprint_col("text"))
+        .otherwise(F.md5(F.concat(F.lit("media:"), F.col("_media_refs")))),
+    ).drop("_media_refs")
 
 
 def first_seen_dedup_batch_replay(docs: DataFrame,
@@ -183,11 +207,13 @@ def first_seen_dedup_batch_replay(docs: DataFrame,
     """Deterministic BATCH twin of streaming_first_seen_dedup: same
     fingerprint key (via the shared ``_fingerprinted`` derivation), same
     output schema, first (ingest_ts, doc_id) occurrence per fingerprint
-    survives. This puts the dedup KEY and selection semantics under the
-    DuckDB driver oracle (q36); the streaming-only parts — TTL state
-    expiry and re-emission after timeout — are pinned by the streaming
-    pytest suite (they need iterative session logic SQL can't express
-    without recursion)."""
+    survives. This puts the dedup KEY and within-batch selection
+    semantics under the DuckDB driver oracle (q36). Two streaming-only
+    behaviors stay pinned by the streaming pytest suite instead: TTL
+    state expiry/re-emission, and cross-batch ARRIVAL ordering — the
+    stream keeps the first batch's row even if a later batch delivers an
+    earlier event-time row within the watermark, whereas this twin picks
+    the event-time-global minimum."""
     from pyspark.sql import Window
 
     flat = _fingerprinted(docs, ts_col)
@@ -208,9 +234,15 @@ def streaming_first_seen_dedup(
     """CUSTOM stateful streaming operator (applyInPandasWithState):
     cross-micro-batch exact dedup of a document stream.
 
-    Emits only the FIRST occurrence of each text fingerprint (md5 of the
+    Emits only the FIRST occurrence of each fingerprint (md5 of the
     normalized concatenated text spans — the same key the batch exact-dedup
-    operator uses); later arrivals of the same fingerprint are suppressed.
+    operator uses — with a media-ref fallback key for media-only docs);
+    later arrivals of the same fingerprint are suppressed. Selection is
+    ARRIVAL-ordered across micro-batches (the streaming-native contract:
+    the first batch to see a fingerprint wins, earliest (event time,
+    doc_id) within that batch) — a late-but-in-watermark row in a LATER
+    batch does not retroactively replace the emitted row, unlike the
+    event-time-global batch twin (first_seen_dedup_batch_replay).
     Per-fingerprint state self-expires via an EVENT-TIME timeout once the
     watermark passes first_seen + ttl, so state is bounded by the distinct
     documents per TTL window, never by stream lifetime — the property that
@@ -224,8 +256,15 @@ def streaming_first_seen_dedup(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    flat = _fingerprinted(docs_stream, ts_col).withWatermark(
-        "ingest_ts", watermark_delay)
+    flat = (
+        _fingerprinted(docs_stream, ts_col)
+        # epoch ms computed JVM-SIDE: Arrow hands the python UDF a
+        # session-timezone-naive timestamp, so pandas .value would be
+        # off by the UTC offset on any non-UTC session — the timeout
+        # would land behind the watermark (query crash) or inflate TTL
+        .withColumn("_ts_ms", F.unix_millis(F.col(ts_col)))
+        .withWatermark("ingest_ts", watermark_delay)
+    )
     ttl_ms = dedup_ttl_minutes * 60_000
 
     def fn(key, pdfs, state):
@@ -241,8 +280,8 @@ def streaming_first_seen_dedup(
         import pandas as _pd
 
         rows = _pd.concat(list(pdfs))
-        first = rows.sort_values(["ingest_ts", "doc_id"]).iloc[0]
-        first_ms = int(first["ingest_ts"].value // 1_000_000)
+        first = rows.sort_values(["_ts_ms", "doc_id"]).iloc[0]
+        first_ms = int(first["_ts_ms"])
         state.update((first_ms,))
         state.setTimeoutTimestamp(first_ms + ttl_ms)
         yield _pd.DataFrame({
