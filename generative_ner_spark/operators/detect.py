@@ -567,6 +567,12 @@ def ground(generations: DataFrame, names2labels: dict[str, str] | None = None) -
                 pdf["example_id"], pdf["doc_id"], pdf["span_offset"],
                 pdf["text"], pdf["generated_text"],
             ):
+                if gen is None:
+                    # failed-generation row (e.g. an OpenAI batch error
+                    # line read back as null): skip, same contract as
+                    # ground_individual — a None here used to raise
+                    # inside parse_output and kill the whole job
+                    continue
                 lowered = text.lower()
                 for s, e, label in textops.spans_from_generation_collective(
                     text, gen, n2l

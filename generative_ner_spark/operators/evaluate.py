@@ -23,8 +23,16 @@ def evaluate_predictions(pred_vs_gold: DataFrame,
     One narrow projection + one global agg; at 100 TB this is a single
     map-side-combined reduction (no per-key shuffle at all).
     """
-    g = F.array_distinct(F.col(golds_col))
-    p = F.array_distinct(F.col(preds_col))
+    # NULL arrays count as EMPTY on that side, not as a silently skipped
+    # row: size(NULL) is NULL under ANSI and F.sum would drop it from the
+    # denominators, shrinking precision/recall without warning for any
+    # caller whose frame wasn't built by mention_eval_frame (e.g. a left
+    # join that missed); coalescing makes a NULL preds row count its gold
+    # spans as misses, the semantics the reference's set-math implies
+    empty = F.expr("array()").cast(
+        "array<struct<start:bigint,end:bigint,label:string>>")
+    g = F.array_distinct(F.coalesce(F.col(golds_col), empty))
+    p = F.array_distinct(F.coalesce(F.col(preds_col), empty))
     row = (
         pred_vs_gold.select(
             F.size(g).alias("n_gold"),

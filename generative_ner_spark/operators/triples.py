@@ -109,7 +109,17 @@ def write_triples_snapshot(triples: DataFrame, path: str) -> int:
     if _os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = _json.load(f)
-    version = manifest["current"] + 1
+    # next version = above the manifest AND any orphaned v=N dir: a crash
+    # mid-write leaves a partial v=N the manifest never points at —
+    # without the dir scan every retry recomputed N, hit errorifexists,
+    # and the append-only sink was bricked until manual cleanup (readers
+    # were always safe; only WRITES deadlocked)
+    orphans = [
+        int(name.split("=", 1)[1])
+        for name in (_os.listdir(path) if _os.path.isdir(path) else [])
+        if name.startswith("v=") and name.split("=", 1)[1].isdigit()
+    ]
+    version = max([manifest["current"], *orphans], default=0) + 1
     target = _os.path.join(path, f"v={version}")
     triples.write.mode("errorifexists").partitionBy("pred").parquet(target)
     n = triples.sparkSession.read.parquet(target).count()

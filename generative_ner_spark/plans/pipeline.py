@@ -79,6 +79,11 @@ def run_pipeline(
     testdata_kg.examples_with_golds)."""
     cfg = cfg or SynthConfig()
     detect._check_prompt_format(prompt_format)  # parity: preprocessor.py:116
+    if language not in ("en", "ja"):
+        # fail FAST and identically on both paths: the fused path never
+        # touches language (stub mentions are language-blind) while the
+        # resume path raised late inside an executor during generation
+        raise ValueError(f"Unsupported language: {language}")
     t0 = time.time()
 
     if examples_with_golds is not None:
@@ -101,8 +106,19 @@ def run_pipeline(
     # changed prompt_format / language / label set MISSES and regenerates,
     # and the final join serves ONLY the current input's examples — a resume
     # with a shrunken input never emits stale mentions.
-    hashed = detect.with_prompt_hash(examples, prompt_format, language)
-    if os.path.exists(gen_ckpt):
+    # persist + materialize the hashed frame BEFORE generation: it feeds
+    # two jobs (the checkpoint write and the final serve join) — without
+    # this the Python render+hash pass re-executed per job AND fused with
+    # the generation mapInPandas in one task (two chained CPU-bound
+    # python stages oversubscribe workers 2x, the CLAUDE.md gotcha)
+    hashed = detect.with_prompt_hash(examples, prompt_format, language).persist()
+    hashed.count()
+    # resume only from a COMMITTED checkpoint (_SUCCESS): a crash during
+    # the first write leaves a directory with only _temporary/ — the bare
+    # exists() test then made every re-run fail on an unreadable parquet
+    # dir, permanently breaking the resume feature whose purpose is crash
+    # recovery
+    if os.path.exists(os.path.join(gen_ckpt, "_SUCCESS")):
         cached_hashes = spark.read.parquet(gen_ckpt).select("prompt_hash").distinct()
         pending = hashed.join(cached_hashes, "prompt_hash", "left_anti")
         fresh = detect.generate_stub(pending, cfg, prompt_format, language)
@@ -176,12 +192,19 @@ def _finish(
         metrics["n_triples"] = manifest["n_triples"]
 
     if collect_metrics:
+        # persist mentions: the two partition-metrics jobs plus the
+        # legacy n_mentions count would otherwise re-run the mapInPandas
+        # generation lineage up to 3x (CLAUDE.md: materialize frames
+        # feeding multiple branches); n_mentions itself falls out of the
+        # already-collected per-partition rows for free
+        mentions = mentions.persist()
         per_part = (
             _partition_metrics(mentions, "mentions")
             + _partition_metrics(trip, "triples")
         )
         metrics["per_partition"] = per_part
-        metrics["n_mentions"] = mentions.count()
+        metrics["n_mentions"] = sum(
+            r["rows"] for r in per_part if r["stage"] == "mentions")
     metrics["wall_sec"] = time.time() - t0
 
     if sink_path and collect_metrics:

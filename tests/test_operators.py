@@ -610,6 +610,26 @@ class TestTripleSnapshots:
             df1.write.mode("errorifexists").partitionBy("pred").parquet(
                 str(tmp_path / "sink" / "v=1"))
 
+    def test_snapshot_writer_recovers_from_orphaned_version_dir(
+            self, spark, tmp_path):
+        """A crash mid-write leaves a v=N dir the manifest never points
+        at; the next write must skip past it (readers were always safe —
+        only writes used to deadlock on errorifexists forever)."""
+        import os
+
+        from generative_ner_spark.operators import triples as T
+
+        path = str(tmp_path / "sink")
+        df = spark.createDataFrame(
+            [("a", "instance_of", "ORG", "d1", 0, 0)],
+            "subj_id string, pred string, obj_id string, doc_id string, "
+            "span_offset int, partition_id int")
+        assert T.write_triples_snapshot(df, path) == 1
+        os.makedirs(os.path.join(path, "v=2"))  # simulated crashed write
+        assert T.write_triples_snapshot(df, path) == 3  # skips the orphan
+        cur = T.read_triples_snapshot(spark, path)
+        assert cur.count() == 1  # manifest points at the committed v=3
+
 
 class TestConvertConllCli:
     def test_roundtrip_matches_kernel(self, spark, tmp_path, capsys):

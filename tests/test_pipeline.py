@@ -212,3 +212,57 @@ def test_salted_link_equals_broadcast_link(spark, pipeline_result):
     assert {tuple(r) for r in a.select(*key).collect()} == {
         tuple(r) for r in b.select(*key).collect()
     }
+
+
+def test_resume_recovers_from_crashed_first_checkpoint_write(spark, tmp_path):
+    """A crash during the FIRST checkpoint write leaves the generations
+    dir without _SUCCESS (e.g. only _temporary/): the next run must
+    detect the uncommitted state and regenerate (mode overwrite) instead
+    of failing forever on an unreadable parquet dir — crash recovery is
+    the whole point of the checkpoint."""
+    cfg = SynthConfig(n_docs=12)
+    docs, golds = corpus.synth_documents(spark, cfg, num_partitions=2)
+    adf, edf = corpus.alias_df(spark, cfg), corpus.entities_df(spark, cfg)
+    ckpt = str(tmp_path / "ckpt")
+    gen = os.path.join(ckpt, "generations")
+    os.makedirs(os.path.join(gen, "_temporary"))  # simulated crashed write
+    r = run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt)
+    assert r.triples.count() > 0
+    assert os.path.exists(os.path.join(gen, "_SUCCESS"))  # now committed
+    # and the committed checkpoint resumes cleanly
+    n_gen = spark.read.parquet(gen).count()
+    run_pipeline(spark, docs, golds, adf, edf, cfg, checkpoint_dir=ckpt)
+    assert spark.read.parquet(gen).count() == n_gen
+
+
+def test_ground_skips_null_generations(spark):
+    """A failed-generation row (null generated_text — what an OpenAI batch
+    error line reads back as) is SKIPPED by detect.ground, same contract
+    as ground_individual, instead of raising inside the Arrow pass and
+    killing the job."""
+    from generative_ner_spark.operators import detect
+
+    df = spark.createDataFrame(
+        [("e1", "d1", 0, "Alice went home", '[("Alice", "person")]'),
+         ("e2", "d2", 0, "Bob stayed", None)],
+        "example_id string, doc_id string, span_offset int, text string, "
+        "generated_text string",
+    )
+    rows = detect.ground(df).collect()
+    assert {r.example_id for r in rows} == {"e1"}
+
+
+def test_evaluate_null_arrays_count_as_misses(spark):
+    """A NULL preds/golds array counts as EMPTY (gold side becomes
+    misses) instead of silently dropping the row from the denominators."""
+    from generative_ner_spark.operators import evaluate
+
+    df = spark.createDataFrame(
+        [([(0, 5, "PER")], [(0, 5, "PER")]),
+         ([(0, 3, "ORG")], None)],  # NULL preds: gold must count as a miss
+        "golds array<struct<start:bigint,end:bigint,label:string>>, "
+        "preds array<struct<start:bigint,end:bigint,label:string>>",
+    )
+    m = evaluate.evaluate_predictions(df)
+    assert (m["n_gold"], m["n_pred"], m["n_correct"]) == (2, 1, 1)
+    assert m["recall"] == 0.5 and m["precision"] == 1.0
