@@ -94,8 +94,12 @@ def token_count_col(text_col: str) -> Column:
     ~4-chars-per-token heuristic applies (ceil(len/4), floor 1 for non-empty).
     """
     c = F.length(F.col(text_col))
-    return F.when(c == 0, F.lit(0)).otherwise(
-        F.greatest(F.ceil(c / 4.0).cast("long"), F.lit(1))
+    # NULL text (a failed generation) is 0 tokens, like empty: the old
+    # greatest(NULL, 1) form billed every null-text row 1 phantom token
+    # (greatest skips nulls). The greatest() itself was dead weight —
+    # ceil(c/4) >= 1 for any non-empty string.
+    return F.when(c.isNull() | (c == 0), F.lit(0)).otherwise(
+        F.ceil(c / 4.0).cast("long")
     )
 
 

@@ -17,12 +17,23 @@ IOB2 tags to char-offset entities. Re-expressed for Spark in two layers:
   is inherently sequential); many files parallelize across files via the
   ``input_file_name`` partition key.
 
-* ``conll_lines_to_documents`` — the pure kernel on an iterator of lines,
-  reused by tests and by the window path's per-file fallback.
+* ``conll_lines_to_documents`` — the pure kernel on an iterator of lines;
+  the distributed path shares its document-record construction via
+  ``_doc_record`` (one copy of the parity-critical id/example shape) and
+  tests assert the two paths equal.
+
+INTENTIONAL divergence from the reference (recorded in COVERAGE.md): the
+reference's ``read_conll`` never flushes words pending at EOF (a file not
+ending in a blank line silently DROPS its last sentence) and leaks words
+pending at a ``-DOCSTART-`` into the next document. Both paths here flush
+pending words at every boundary — the behavior the reference code clearly
+intends — so a byte-parity cross-check against the reference loop on such
+files differs by exactly the sentences the reference loses.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Any, Iterable, Iterator
 
 import pandas as pd
@@ -39,11 +50,32 @@ DOC_SCHEMA = (
 )
 
 
+def _doc_record(basename: str, doc_idx: int,
+                sentences: list[dict[str, Any]]) -> dict[str, Any]:
+    """THE document-record shape (doc_id scheme, example ids, entity and
+    word_positions layout) — one copy shared by the pure kernel and the
+    distributed decode so the two paths can never silently diverge."""
+    doc_id = f"{basename}-{doc_idx}"
+    return {
+        "doc_id": doc_id,
+        "examples": [
+            {
+                "id": f"{doc_id}-{j}",
+                "text": s["text"],
+                "entities": s["entities"],
+                "word_positions": [list(p) for p in s["word_positions"]],
+            }
+            for j, s in enumerate(sentences)
+        ],
+    }
+
+
 def conll_lines_to_documents(
     lines: Iterable[str], basename: str = "conll"
 ) -> Iterator[dict[str, Any]]:
-    """Pure kernel: CoNLL lines -> document dicts (parity with
-    scripts/conll2003.py:109-149 incl. doc/sentence boundary rules)."""
+    """Pure kernel: CoNLL lines -> document dicts (scripts/conll2003.py:
+    109-149 semantics, with the EOF/docstart pending-word flush fix — see
+    module docstring)."""
     sentences: list[dict[str, Any]] = []
     words: list[str] = []
     labels: list[str] = []
@@ -58,19 +90,7 @@ def conll_lines_to_documents(
     def flush_doc():
         nonlocal sentences, doc_idx
         if sentences:
-            doc_id = f"{basename}-{doc_idx}"
-            yield {
-                "doc_id": doc_id,
-                "examples": [
-                    {
-                        "id": f"{doc_id}-{j}",
-                        "text": s["text"],
-                        "entities": s["entities"],
-                        "word_positions": [list(p) for p in s["word_positions"]],
-                    }
-                    for j, s in enumerate(sentences)
-                ],
-            }
+            yield _doc_record(basename, doc_idx, sentences)
             doc_idx += 1
             sentences = []
 
@@ -89,6 +109,24 @@ def conll_lines_to_documents(
     yield from flush_doc()
 
 
+def _file_basenames(files: list[str]) -> dict[str, str]:
+    """file path -> doc-id prefix. Plain basename normally; when two
+    files share a basename (train/data.txt vs dev/data.txt) each gets a
+    short path-hash suffix so their doc/example ids cannot collide and
+    silently mix documents in downstream joins."""
+    bases: dict[str, int] = {}
+    raw = {}
+    for f in files:
+        b = f.rsplit("/", 1)[-1].split(".")[0]
+        raw[f] = b
+        bases[b] = bases.get(b, 0) + 1
+    return {
+        f: (b if bases[b] == 1
+            else f"{b}-{hashlib.md5(f.encode()).hexdigest()[:8]}")
+        for f, b in raw.items()
+    }
+
+
 def read_conll_distributed(spark: SparkSession, path: str) -> DataFrame:
     """CoNLL text file(s) -> document DataFrame (DOC_SCHEMA).
 
@@ -98,14 +136,21 @@ def read_conll_distributed(spark: SparkSession, path: str) -> DataFrame:
     running sums need the file's lines ordered, which the line_no ordering
     provides.
     """
+    raw = spark.read.text(path)
+    # file listing only (no data scan) — used to disambiguate doc-id
+    # prefixes when different directories contain same-named files
+    names = _file_basenames(list(raw.inputFiles()))
     lines = (
-        spark.read.text(path)
-        .select(
+        raw.select(
             F.input_file_name().alias("file"),
             F.monotonically_increasing_id().alias("line_no"),
             F.col("value").alias("line"),
         )
-        .withColumn("line", F.rtrim("line"))
+        # strip ALL trailing whitespace (regex, not rtrim: rtrim removes
+        # only spaces, so a trailing tab survived — 'B-PER\\t' became the
+        # label and a tab-only line was read as a token line, diverging
+        # from the pure kernel's raw.rstrip())
+        .withColumn("line", F.regexp_replace("line", r"\s+$", ""))
     )
     w = Window.partitionBy("file").orderBy("line_no")
     marked = (
@@ -138,7 +183,8 @@ def read_conll_distributed(spark: SparkSession, path: str) -> DataFrame:
             for file, doc_grp, rows in zip(
                 pdf["file"], pdf["doc_rank"], pdf["rows"]
             ):
-                basename = file.rsplit("/", 1)[-1].split(".")[0]
+                basename = names.get(
+                    file, file.rsplit("/", 1)[-1].split(".")[0])
                 sentences = []
                 cur_sent, cur_words, cur_tags = None, [], []
                 for r in rows:  # already sorted by line_no
@@ -153,19 +199,9 @@ def read_conll_distributed(spark: SparkSession, path: str) -> DataFrame:
                     cur_tags.append(cols[-1])
                 if cur_words:
                     sentences.append(textops.conll_to_example(cur_words, cur_tags))
-                doc_id = f"{basename}-{int(doc_grp)}"
-                out["doc_id"].append(doc_id)
-                out["examples"].append(
-                    [
-                        {
-                            "id": f"{doc_id}-{j}",
-                            "text": s["text"],
-                            "entities": s["entities"],
-                            "word_positions": [list(p) for p in s["word_positions"]],
-                        }
-                        for j, s in enumerate(sentences)
-                    ]
-                )
+                rec = _doc_record(basename, int(doc_grp), sentences)
+                out["doc_id"].append(rec["doc_id"])
+                out["examples"].append(rec["examples"])
             yield pd.DataFrame(out)
 
     return grouped.mapInPandas(decode, DOC_SCHEMA)

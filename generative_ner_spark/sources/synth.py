@@ -135,8 +135,9 @@ def alias_rows(cfg: SynthConfig) -> list[dict[str, Any]]:
     """FIXTURES.md F5: normalized alias -> entity_id with prior.
 
     Ambiguity: the alias of each entity whose index % 17 == 0 is ALSO mapped
-    to the next entity with a lower prior. Hub entity E00000 gets extra short
-    aliases (skew: one alias key carries a large share of mentions).
+    to the next entity with a lower prior. (Skew comes from the Zipf
+    MENTION distribution over entities — hub entities dominate mention
+    frequency; no extra alias keys are generated for them.)
     """
     cat = entity_catalog(cfg)
     rows: list[dict[str, Any]] = []
@@ -208,8 +209,6 @@ def make_document(doc_index: int, cfg: SynthConfig,
             offset += 1
             continue
         template = rng.choice(_TEMPLATES)
-        text = ""
-        cursor = 0
         ents_here: list[tuple[int, int, str]] = []
         parts = template.split()
         words_out: list[str] = []

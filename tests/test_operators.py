@@ -65,6 +65,27 @@ class TestConll:
         for k in want:
             assert got[k] == want[k]
 
+    def test_trailing_tabs_and_basename_collisions(self, spark, tmp_path):
+        """Distributed path strips ALL trailing whitespace (rtrim only
+        removed spaces, so 'B-PER\\t' became the label and a tab-only
+        line read as a token), and same-named files in different dirs
+        get disambiguated doc-id prefixes instead of silently colliding."""
+        body = "-DOCSTART- -X- O O\n\nAlice B-PER\t\nwent O\n\t\nBob B-PER\n"
+        for sub in ("train", "dev"):
+            d = tmp_path / sub
+            d.mkdir()
+            (d / "data.txt").write_text(body)
+        docs = conll.read_conll_distributed(
+            spark, str(tmp_path / "*" / "data.txt")).collect()
+        ids = sorted(r.doc_id for r in docs)
+        assert len(ids) == 2 and ids[0] != ids[1]  # no collision
+        assert all(i.startswith("data-") for i in ids)
+        for r in docs:
+            d = r.asDict(recursive=True)
+            # tab-only line is a sentence boundary; trailing tab stripped
+            assert [e["text"] for e in d["examples"]] == ["Alice went", "Bob"]
+            assert d["examples"][0]["entities"][0]["label"] == "PER"
+
 
 class TestIndividualFormat:
     def test_matches_reference_loop(self, spark):
