@@ -26,12 +26,21 @@ def sample_demonstrations(examples: DataFrame, k: int = 2, seed: int = 0
     """Seeded sample of k example rows (text + gold_spans) for few-shot demos.
 
     Note: the reference shuffles with python random.Random(seed)
-    (run_gpt.py:33-35); Spark's rand(seed) is a different (but equally
-    deterministic) sequence — demo CHOICE differs, demo MECHANICS match.
+    (run_gpt.py:33-35); here the shuffle key is md5(seed:example_id) — a
+    pure function of (seed, id), so the SAME demos come back on every
+    run, cluster size, and input partitioning. (F.rand(seed) is NOT that:
+    its per-row stream depends on partition index and row position, so a
+    repartition silently changed every prompt and invalidated the whole
+    prompt-hash response cache.) Demo CHOICE differs from the reference's
+    sequence; demo MECHANICS match.
     """
     rows = (
         examples.select("example_id", "text", "gold_spans")
-        .orderBy(F.rand(seed), F.col("example_id"))
+        .orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"),
+                           F.col("example_id").cast("string"))),
+            F.col("example_id"),
+        )
         .limit(k)
         .collect()
     )

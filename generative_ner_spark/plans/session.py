@@ -45,4 +45,20 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # getOrCreate() silently returns a PRE-EXISTING session and ignores
+    # every conf above; warn when that happened with a different shape so
+    # timing/scaling comparisons aren't made on a false assumption
+    got_master = spark.conf.get("spark.master", "")
+    got_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "")
+    if got_master != master or got_shuffle != str(shuffle_partitions):
+        import warnings
+
+        warnings.warn(
+            f"build_session: reusing an existing SparkSession "
+            f"(master={got_master!r}, shuffle.partitions={got_shuffle!r}) "
+            f"— the requested (master={master!r}, "
+            f"shuffle_partitions={shuffle_partitions}) did NOT apply",
+            stacklevel=2,
+        )
+    return spark

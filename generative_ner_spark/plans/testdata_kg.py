@@ -86,24 +86,43 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEXICON_PATTERNS = {
+    t: re.compile(rf"\b{t}\b", re.IGNORECASE) for t in LEXICON
+}
+
+
+def _lexicon_matches(text: str) -> list[dict]:
+    """THE gold matcher, shared by lexicon_golds (resume path) and
+    examples_with_golds (fused path) so the two pipeline branches can
+    never silently desync. Matches run case-insensitively over the
+    ORIGINAL text — not over text.lower(), whose length can differ for
+    some Unicode characters (U+0130 lowercases to two code points),
+    which would shift every subsequent offset off the original document.
+    Sorted (start, end, label) for deterministic gold_spans ordering."""
+    golds = [
+        {"start": m.start(), "end": m.end(), "label": LEXICON[term]}
+        for term, pat in _LEXICON_PATTERNS.items()
+        for m in pat.finditer(text)
+    ]
+    golds.sort(key=lambda g: (g["start"], g["end"], g["label"]))
+    return golds
+
+
 def lexicon_golds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-word lexicon matches as gold entities (Arrow batches)."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    patterns = {t: re.compile(rf"\b{t}\b") for t in LEXICON}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "span_offset": [], "start": [], "end": [],
                    "label": []}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                lowered = text.lower()
-                for term, pat in patterns.items():
-                    for m in pat.finditer(lowered):
-                        out["doc_id"].append(f"tdoc-{did}")
-                        out["span_offset"].append(0)
-                        out["start"].append(m.start())
-                        out["end"].append(m.end())
-                        out["label"].append(LEXICON[term])
+                for g in _lexicon_matches(text):
+                    out["doc_id"].append(f"tdoc-{did}")
+                    out["span_offset"].append(0)
+                    out["start"].append(g["start"])
+                    out["end"].append(g["end"])
+                    out["label"].append(g["label"])
             yield pd.DataFrame(out)
 
     return flat.mapInPandas(fn, schema.GOLD_ENTITY_SCHEMA)
@@ -141,22 +160,13 @@ def examples_with_golds(spark: SparkSession, sf_dir: str) -> DataFrame:
     golds come from a separate table.
     """
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    patterns = {t: re.compile(rf"\b{t}\b") for t in LEXICON}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"example_id": [], "doc_id": [], "span_offset": [],
                    "text": [], "gold_spans": []}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                lowered = text.lower()
-                golds = []
-                for term, pat in patterns.items():
-                    for m in pat.finditer(lowered):
-                        golds.append(
-                            {"start": m.start(), "end": m.end(),
-                             "label": LEXICON[term]}
-                        )
-                golds.sort(key=lambda g: (g["start"], g["end"], g["label"]))
+                golds = _lexicon_matches(text)
                 out["example_id"].append(f"tdoc-{did}:0")
                 out["doc_id"].append(f"tdoc-{did}")
                 out["span_offset"].append(0)
@@ -207,9 +217,19 @@ def run_testdata_pipeline(spark: SparkSession, sf_dir: str,
     from generative_ner_spark.plans import pipeline as P
     import time as _time
 
+    # the fast path must honor the SAME kwargs the resume path forwards
+    # to run_pipeline — silently dropping e.g. canonical_df would make
+    # the two branches canonicalize differently from identical arguments
+    known = {"sink_path", "collect_metrics", "canonical_df"}
+    extra = set(kwargs) - known
+    if extra:
+        raise TypeError(
+            f"run_testdata_pipeline fast path got unsupported kwargs "
+            f"{sorted(extra)}; pass checkpoint_dir to route through "
+            f"run_pipeline, which accepts the full surface")
     mentions = testdata_mentions(spark, sf_dir)
     return P._finish(
         spark, mentions, lexicon_alias_df(spark), lexicon_entities_df(spark),
         kwargs.get("sink_path"), kwargs.get("collect_metrics", False),
-        _time.time(),
+        _time.time(), kwargs.get("canonical_df"),
     )

@@ -41,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
 
     summary = {}
     for spec in args.split:
+        if "=" not in spec:
+            ap.error(f"--split expects NAME=PATH, got {spec!r}")
         name, path = spec.split("=", 1)
         docs = read_conll_distributed(spark, path)
         out = os.path.join(args.output, name)

@@ -72,17 +72,42 @@ def main(argv: list[str] | None = None) -> int:
     if args.canonical:
         import os
 
+        from pyspark.sql import functions as F
+
         from generative_ner_spark.operators import canonicalize
+
+        # order-independent fingerprint of the CURRENT entity catalog: a
+        # canonical map is only valid for the catalog it was computed
+        # from — reusing a committed map against a changed catalog would
+        # silently leave new entities uncanonicalized and merged ones
+        # split (triples wrong with rc=0)
+        fp = str(entities_df.agg(F.sum(
+            F.xxhash64("entity_id", "name", "entity_type"))).first()[0])
+        fp_path = os.path.join(args.canonical, "_catalog_fingerprint")
+
+        def _read_fp():
+            try:
+                with open(fp_path) as f:
+                    return f.read().strip()
+            except OSError:
+                return None
 
         # gate on _SUCCESS, not bare existence: a directory left by a
         # crashed prior write must be recomputed, not silently read as a
         # (partial) canonical map. Local-FS path semantics — on an object
         # store route this through the catalog/table API instead.
-        if os.path.exists(os.path.join(args.canonical, "_SUCCESS")):
+        if os.path.exists(os.path.join(args.canonical, "_SUCCESS")) \
+                and _read_fp() == fp:
             canonical_df = spark.read.parquet(args.canonical)
         else:
+            if os.path.exists(os.path.join(args.canonical, "_SUCCESS")):
+                print(f"canonical map at {args.canonical} was computed "
+                      f"from a DIFFERENT entity catalog — recomputing",
+                      file=sys.stderr)
             canonicalize.canonical_map(entities_df).write.mode(
                 "overwrite").parquet(args.canonical)
+            with open(fp_path, "w") as f:
+                f.write(fp)
             canonical_df = spark.read.parquet(args.canonical)
 
     res = run_pipeline(

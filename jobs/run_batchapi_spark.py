@@ -77,9 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     from generative_ner_spark.operators import batchapi, detect, evaluate, syncgen
-    from jobs.run_gpt_spark import build_examples
+    from generative_ner_spark.sources.examples import build_examples
 
-    examples, golds, _ = build_examples(spark, args)
+    examples, golds, _ = build_examples(spark, args.input, args.golds)
     tasks = spark.read.json(args.tasks)
     if args.local_control_plane:
         work = os.path.join(args.output, "control_plane")
@@ -106,10 +106,15 @@ def main(argv: list[str] | None = None) -> int:
     keyed = examples.select("example_id", "doc_id", "span_offset", "text").join(
         joined, "example_id"
     )
+    # keyed feeds three actions (metrics collect, predictions write,
+    # n_results count) — persist so the responder/ground mapInPandas
+    # stages run once (CLAUDE.md: materialize frames feeding branches)
+    keyed = keyed.persist()
     if args.format == "individual":
         mentions = detect.ground_individual(keyed)
     else:
         mentions = detect.ground(keyed)
+    mentions = mentions.persist()
     metrics = evaluate.evaluate_predictions(
         evaluate.mention_eval_frame(mentions, golds)
     )
@@ -124,9 +129,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         .write.mode("overwrite").parquet(preds_path)
     )
+    n_results = keyed.count()  # served results (keyed is cached)
     print(json.dumps({"mode": "batch-retrieve", "metrics": metrics,
                       "predictions": preds_path,
-                      "n_results": results.count()}))
+                      "n_results": n_results}))
     return 0
 
 

@@ -32,22 +32,13 @@ import sys
 
 
 def build_examples(spark, args):
-    """(examples_with_golds, golds_df) from synth:<n> or JSONL+golds."""
-    from generative_ner_spark.operators import detect
-    from generative_ner_spark.sources import corpus, io
-    from generative_ner_spark.sources.synth import SynthConfig
+    """(examples_with_golds, golds_df) from synth:<n> or JSONL+golds —
+    thin wrapper over the PACKAGE implementation (sources/examples.py)
+    so sibling jobs never import from jobs/ (not shipped in the
+    --py-files zip)."""
+    from generative_ner_spark.sources.examples import build_examples as be
 
-    if args.input.startswith("synth:"):
-        cfg = SynthConfig(n_docs=int(args.input.split(":", 1)[1]))
-        docs, golds = corpus.synth_documents(spark, cfg)
-        examples = detect.attach_golds(detect.explode_text_spans(docs), golds)
-        return examples, golds, cfg
-    docs = io.load_documents_json(spark, args.input)
-    if not args.golds:
-        raise SystemExit("--golds is required with a JSONL --input")
-    golds = spark.read.parquet(args.golds)
-    examples = detect.attach_golds(detect.explode_text_spans(docs), golds)
-    return examples, golds, None
+    return be(spark, args.input, args.golds)
 
 
 def generate_with_budget(spark, fused_prompts, responder, args, cache_dir,

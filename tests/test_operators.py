@@ -500,6 +500,28 @@ class TestSyncGenerate:
                 assert r.generated_text.startswith("B:")  # served from run-2 cache
 
 
+class TestDemoDeterminism:
+    def test_sample_invariant_to_partitioning(self, spark):
+        """The demo sample is a pure function of (seed, example ids):
+        identical across input partitioning/parallelism. F.rand(seed)
+        was NOT (per-partition streams), so a repartition changed every
+        prompt and invalidated the whole prompt-hash response cache."""
+        from generative_ner_spark.operators import demos as D
+
+        rows = [(f"e{i:03d}", f"text {i}", []) for i in range(100)]
+        schema = ("example_id string, text string, "
+                  "gold_spans array<struct<start:bigint,end:bigint,"
+                  "label:string>>")
+        df1 = spark.createDataFrame(rows, schema)
+        df2 = spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+        s1 = [d["example_id"] for d in D.sample_demonstrations(df1, k=3, seed=5)]
+        s2 = [d["example_id"] for d in D.sample_demonstrations(df2, k=3, seed=5)]
+        assert s1 == s2 and len(s1) == 3
+        # and the seed still rotates the sample
+        s3 = [d["example_id"] for d in D.sample_demonstrations(df1, k=3, seed=6)]
+        assert s3 != s1
+
+
 class TestRenderPrompts:
     def test_system_prompt_composition(self, spark):
         """system_prompt parity (run_gpt.py:114-119, 180): the system turn
