@@ -9,8 +9,9 @@ Output: {"metric": ..., "value": <total sec>, "unit": "sec",
          "queries": {...}, "sf": ..., "kg_docs_per_sec": ...,
          "kg_triples_per_sec": ...}
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
-bench_scaling.py -> BENCH/SCALING.md (separate sessions per master).
+Scaling-efficiency evidence (two parallelism levels, default local[4] vs
+local[16]) is produced by bench_scaling.py -> BENCH/SCALING.md (separate
+sessions per master).
 """
 
 from __future__ import annotations
@@ -150,8 +151,7 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            force(qs[name](spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -172,15 +172,20 @@ def main() -> None:
     entities = corpus.entities_df(spark, cfg)
     canon = canonicalize.canonical_map(entities).persist()
     canon.count()
-    t0 = time.time()
-    res = run_pipeline(
-        spark, None, None,
-        corpus.alias_df(spark, cfg), entities, cfg,
-        examples_with_golds=examples,
-        canonical_df=canon,
-    )
-    n_triples = res.triples.count()
-    kg_wall = time.time() - t0
+    # best-of-2 like the per-query loop: a single shot under a tenant
+    # load burst can deflate the headline throughput up to ~10x
+    kg_wall = None
+    for _ in range(2):
+        t0 = time.time()
+        res = run_pipeline(
+            spark, None, None,
+            corpus.alias_df(spark, cfg), entities, cfg,
+            examples_with_golds=examples,
+            canonical_df=canon,
+        )
+        n_triples = res.triples.count()
+        dt = time.time() - t0
+        kg_wall = dt if kg_wall is None else min(kg_wall, dt)
     timings["kg_pipeline_synth"] = round(kg_wall, 3)
     total += kg_wall
 

@@ -2,7 +2,9 @@
 
 Runs every __spark_entry__.queries() entry on Spark and, where an oracle
 exists, the matching SQL on DuckDB over the same parquet tables; compares
-row count, column names, and order-insensitive values (floats to 1e-9 rel).
+row count, column names, and order-insensitive values (floats rounded to
+9 DECIMAL PLACES — absolute, not relative: every oracle pre-rounds its
+float outputs, so both sides land on identical decimals).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 """
@@ -34,9 +36,27 @@ def norm_val(v):
     return v
 
 
+def _sort_key(v):
+    """Type-ranked sort key: normalized cells can mix strings (the NULL
+    sentinel, 'NaN') with numbers across rows of one column — a bare
+    sorted() would raise TypeError (str vs int) and crash the WHOLE gate
+    instead of failing one query. Equality still compares the normalized
+    values themselves; this key only makes ordering total."""
+    if isinstance(v, bool):
+        return (0, float(v))
+    if isinstance(v, (int, float)):
+        return (0, float(v))
+    if isinstance(v, str):
+        return (1, v)
+    if isinstance(v, tuple):
+        return (2, tuple(_sort_key(x) for x in v))
+    return (3, str(v))
+
+
 def rows_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+    normed = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda row: tuple(_sort_key(c) for c in row))
 
 
 def main():
@@ -55,6 +75,12 @@ def main():
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter used to silently check NOTHING and exit 0 —
+        # the gate reporting success with zero oracles run
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}; "
+                         f"known: {sorted(qs)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
