@@ -453,3 +453,24 @@ def canonical_map(
             F.coalesce("component", F.col("entity_id")).alias("canonical_id"),
         )
     )
+
+
+def catalog_fingerprint(
+    entities: DataFrame,
+    cols: tuple[str, ...] = ("entity_id", "name", "entity_type"),
+) -> str:
+    """Order-independent fingerprint of an entity catalog, as a decimal
+    string. A committed canonical map is only valid for the catalog it was
+    computed from (jobs/kg_construct.py gates reuse on this).
+
+    bit_xor, NOT sum: under Spark 4 ANSI mode a long sum over full-range
+    signed xxhash64 values throws ARITHMETIC_OVERFLOW for any catalog
+    beyond a few hundred rows; XOR is overflow-free, order-independent,
+    and rows are unique by entity_id so pairwise cancellation cannot
+    collapse two different catalogs onto each other in practice.
+    """
+    return str(
+        entities.agg(
+            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))")
+        ).first()[0]
+    )

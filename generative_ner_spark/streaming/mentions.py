@@ -261,8 +261,11 @@ def streaming_first_seen_dedup(
         # epoch ms computed JVM-SIDE: Arrow hands the python UDF a
         # session-timezone-naive timestamp, so pandas .value would be
         # off by the UTC offset on any non-UTC session — the timeout
-        # would land behind the watermark (query crash) or inflate TTL
-        .withColumn("_ts_ms", F.unix_millis(F.col(ts_col)))
+        # would land behind the watermark (query crash) or inflate TTL.
+        # NB: 'ingest_ts', not ts_col — _fingerprinted has already renamed
+        # the timestamp column (a non-default ts_col otherwise throws
+        # UNRESOLVED_COLUMN here, matching the withWatermark below)
+        .withColumn("_ts_ms", F.unix_millis(F.col("ingest_ts")))
         .withWatermark("ingest_ts", watermark_delay)
     )
     ttl_ms = dedup_ttl_minutes * 60_000

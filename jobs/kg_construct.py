@@ -72,8 +72,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.canonical:
         import os
 
-        from pyspark.sql import functions as F
-
         from generative_ner_spark.operators import canonicalize
 
         # order-independent fingerprint of the CURRENT entity catalog: a
@@ -81,8 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         # from — reusing a committed map against a changed catalog would
         # silently leave new entities uncanonicalized and merged ones
         # split (triples wrong with rc=0)
-        fp = str(entities_df.agg(F.sum(
-            F.xxhash64("entity_id", "name", "entity_type"))).first()[0])
+        fp = canonicalize.catalog_fingerprint(entities_df)
         fp_path = os.path.join(args.canonical, "_catalog_fingerprint")
 
         def _read_fp():

@@ -2545,3 +2545,96 @@ class TestUniversalFormat:
                    detect.with_prompt_hash(ex, fmt, lang)
                    .select("example_id", "prompt_hash").collect()}
             assert got == want, (fmt, lang)
+
+
+class TestRound5AdviceRegressions:
+    """Pins for the three round-4 ADVICE findings."""
+
+    def test_catalog_fingerprint_overflow_free_order_independent(self, spark):
+        """ADVICE r4 (high): sum(xxhash64(...)) over a few thousand rows
+        throws ARITHMETIC_OVERFLOW under Spark 4 ANSI mode — every
+        --canonical kg_construct run on a realistic catalog crashed.
+        bit_xor is overflow-free; must also be row-order independent and
+        sensitive to any row change."""
+        from generative_ner_spark.operators.canonicalize import (
+            catalog_fingerprint,
+        )
+
+        rows = [(f"E{i:05d}", f"Entity Number {i}", f"T{i % 7}")
+                for i in range(3000)]
+        ents = spark.createDataFrame(
+            rows, "entity_id string, name string, entity_type string")
+        fp = catalog_fingerprint(ents)  # previously: SparkArithmeticException
+        int(fp)  # decimal string
+        shuffled = spark.createDataFrame(
+            list(reversed(rows)),
+            "entity_id string, name string, entity_type string",
+        ).repartition(7)
+        assert catalog_fingerprint(shuffled) == fp
+        changed = spark.createDataFrame(
+            rows[:-1] + [("E02999", "Entity Number 2999 RENAMED", "T3")],
+            "entity_id string, name string, entity_type string")
+        assert catalog_fingerprint(changed) != fp
+
+    def test_streaming_first_seen_dedup_custom_ts_col(self, spark, tmp_path):
+        """ADVICE r4: _ts_ms was computed from F.col(ts_col) AFTER
+        _fingerprinted renamed the column to 'ingest_ts', so any
+        non-default ts_col threw UNRESOLVED_COLUMN at build time."""
+        import json as _json
+
+        from generative_ner_spark.streaming import mentions as sm
+
+        indir = tmp_path / "custom_ts_in"
+        indir.mkdir()
+        (indir / "f1.json").write_text("\n".join(
+            _json.dumps({
+                "doc_id": d,
+                "spans": [{"kind": "text", "text": t,
+                           "media_ref": None, "offset": 0}],
+                "event_ts": ts,
+            })
+            for d, t, ts in [
+                ("a1", "same text", "2025-01-01T10:00:00Z"),
+                ("a2", "same text", "2025-01-01T10:01:00Z"),  # dup
+                ("b1", "other text", "2025-01-01T10:02:00Z"),
+            ]) + "\n")
+        stream = (
+            spark.readStream
+            .schema("doc_id string, "
+                    "spans array<struct<kind:string,text:string,"
+                    "media_ref:string,offset:int>>, event_ts timestamp")
+            .json(str(indir))
+        )
+        deduped = sm.streaming_first_seen_dedup(stream, ts_col="event_ts")
+        q = (
+            deduped.writeStream.format("memory").queryName("sdedup_ts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "sdedup_ts_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = {r.doc_id for r in
+                   spark.sql("SELECT * FROM sdedup_ts").collect()}
+        assert emitted == {"a1", "b1"}
+
+    def test_url_pattern_vertical_tab_engine_parity(self, spark):
+        """ADVICE r4: \\s differs between Java (includes \\x0b) and
+        RE2/DuckDB (does not) — URL_PAT must use an explicit class so the
+        Spark path and the q40 DuckDB oracle extract byte-identically for
+        a URL followed by a vertical tab."""
+        import duckdb
+
+        from generative_ner_spark.operators import urls
+
+        text = "pre https://a.example.com/x\x0btail post"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got_spark = [r.url for r in urls.extract_urls(df).collect()]
+        con = duckdb.connect()
+        got_duck = con.execute(
+            "SELECT unnest(regexp_extract_all(?, ?, 0))",
+            [text, urls.URL_PAT],
+        ).fetchall()
+        con.close()
+        assert got_spark == ["https://a.example.com/x"]
+        assert [r[0] for r in got_duck] == got_spark
