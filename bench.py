@@ -134,6 +134,12 @@ def main() -> None:
     from generative_ner_spark.sources.synth import SynthConfig
     from generative_ner_spark.plans.pipeline import run_pipeline
 
+    # stamp the noise regime into the output: this sandbox is SHARED
+    # (observed 3-19 background loadavg) and a single driver-run number
+    # is uninterpretable without it — r4's single-shot 150 s vs the
+    # same-day best-of-2 102 s manufactured phantom 3x regressions
+    load_before = round(os.getloadavg()[0], 2)
+
     spark = build_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -199,6 +205,12 @@ def main() -> None:
         "kg_triples": n_triples,
         "kg_docs_per_sec": round(KG_BENCH_DOCS / kg_wall, 2),
         "kg_triples_per_sec": round(n_triples / kg_wall, 2),
+        # noise self-description: every per-query/pipeline number is
+        # best-of-N wall-clock; loadavg bounds how much background tenant
+        # load polluted even the better trial
+        "trials_per_query": 2,
+        "load_1min_before": load_before,
+        "load_1min_after": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
 

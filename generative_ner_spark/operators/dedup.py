@@ -253,12 +253,21 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     whose every paragraph was seen earlier disappear entirely (they were
     pure boilerplate).
 
-    Scale shape: explode -> ONE groupBy on the uniform paragraph hash
-    (map-side-combined min(struct(id, idx)) — boilerplate hot keys are
-    absorbed by partial aggregation, the reduce side sees one winner
-    candidate per partition per hash) -> join back on the hash -> per-doc
-    ordered rebuild via sort_array over collected (idx, para) structs (no
-    window, no global sort). Fully SQL-expressible => full q41 oracle.
+    Scale shape — paragraph text crosses exactly ONE exchange (pinned by
+    test + PLANS.md): the winner election runs on a TEXT-FREE projection
+    (ph, id, idx) — explode, hash, ONE map-side-combined groupBy on the
+    uniform paragraph hash (boilerplate hot keys absorbed by partial
+    aggregation), then a second slim groupBy folds the winners into one
+    per-doc survivor-index set. That (id, _keep idx-array) frame joins the
+    text side on id ALONE: at corpus scale winners ~= all distinct
+    paragraphs (never broadcastable), but the survivor-set frame is one
+    slim row per surviving DOC, and a join keyed on id leaves the joined
+    output co-partitioned with the per-doc rebuild groupBy — so the text
+    ships through that single id-exchange and never moves again. (The
+    r4 shape joined text on ph and re-shuffled survivors on id: two full-
+    text exchanges.) Rebuild is sort_array over collected (idx, para)
+    structs — no window, no global sort. Fully SQL-expressible => full
+    q41 oracle.
     """
     # \Q...\E-quote the separator: F.split treats its pattern as a regex
     # while the concat_ws rebuild uses the literal — an unquoted sep='.'
@@ -269,11 +278,19 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep_pat)).alias("idx", "para"),
     ).where(F.col("para") != "")
-    hashed = paras.withColumn("ph", F.md5("para"))
-    winners = hashed.groupBy("ph").agg(
-        F.min(F.struct("id", "idx")).alias("w"))
-    kept = hashed.join(winners, "ph").where(
-        (F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx"))
+    # winner election never touches text: Catalyst prunes para out of the
+    # groupBy input (only ph/id/idx cross these two slim exchanges)
+    hashed = paras.select("id", "idx", F.md5("para").alias("ph"))
+    keep = (
+        hashed.groupBy("ph")
+        .agg(F.min(F.struct("id", "idx")).alias("w"))
+        .groupBy(F.col("w.id").alias("id"))
+        .agg(F.collect_set("w.idx").alias("_keep"))
+    )
+    kept = (
+        paras.join(keep, "id")
+        .where(F.array_contains("_keep", F.col("idx")))
+        .select("id", "idx", "para")
     )
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(

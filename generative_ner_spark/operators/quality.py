@@ -212,11 +212,23 @@ def stratified_hash_sample(
     group's rate (e.g. language rebalancing: {'en': 0.5, 'de': 1.0}),
     groups absent from ``rates`` keep with ``default_rate``. One rowwise
     predicate — no shuffle, no per-group pass, exactly reproducible."""
-    # round() for the same float-artifact reason as hash_sample_cond
+    # O(1) Catalyst expression tree regardless of group count: the
+    # thresholds ride in ONE map literal (a chained per-group CASE costs
+    # O(groups) janino time — the CLAUDE.md gotcha — and a caller
+    # stratifying by domain can pass thousands of groups).
+    # try_element_at, NOT element_at: under Spark 4 ANSI mode element_at
+    # throws MAP_KEY_DOES_NOT_EXIST for a group absent from rates; the
+    # contract is "absent groups keep with default_rate".
+    # round() for the same float-artifact reason as hash_sample_cond.
     threshold = F.lit(round(default_rate * 1_000_000))
-    for g, r in sorted(rates.items()):
-        threshold = F.when(F.col(group_col) == g,
-                           F.lit(round(r * 1_000_000))).otherwise(threshold)
+    if rates:
+        pairs: list = []
+        for g, r in sorted(rates.items()):
+            pairs += [F.lit(g), F.lit(round(r * 1_000_000))]
+        threshold = F.coalesce(
+            F.try_element_at(F.create_map(*pairs), F.col(group_col)),
+            threshold,
+        )
     return df.where(_md5_mod_1m(key_col, salt) < threshold)
 
 

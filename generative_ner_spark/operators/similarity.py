@@ -29,6 +29,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 
+# Driver-side query collects are bounded by this default (overridable per
+# call via max_query_rows). 100k queries x a 1-4 KB embedding row is a few
+# hundred MB of driver heap — the practical ceiling for the "query set
+# rides into the plan as a broadcast/closure" designs below; past it the
+# right tool is a corpus x corpus join (embedding_near_dup_pairs) or
+# chunking the query set.
+DEFAULT_MAX_QUERY_ROWS = 100_000
+
+
+def _collect_query_rows(queries: DataFrame, cols: list[str],
+                        max_query_rows: int, caller: str) -> list:
+    """Collect the query frame with a hard row bound. The batch ANN / kNN
+    paths hold every query vector on the driver BY DESIGN (numpy closure /
+    broadcast bucket frame); an oversized query frame must fail with a
+    clear, immediate error — not an opaque driver OOM mid-collect.
+    limit(N+1) bounds the check itself: we never materialize more than one
+    row past the threshold to discover the overflow."""
+    rows = queries.select(*cols).limit(max_query_rows + 1).collect()
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"{caller}: query frame exceeds max_query_rows="
+            f"{max_query_rows}. These batch paths hold the query set on "
+            "the driver by design; chunk the queries, raise "
+            "max_query_rows explicitly if the driver has the heap for "
+            "it, or use a corpus-scale join operator "
+            "(e.g. embedding_near_dup_pairs) instead."
+        )
+    return rows
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -81,6 +111,7 @@ def _knn_partition_candidates(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    max_query_rows: int,
 ) -> DataFrame:
     """Per-partition top-k candidates for every query: ONE Arrow pass that
     scores a corpus partition against ALL queries with a single numpy
@@ -93,7 +124,9 @@ def _knn_partition_candidates(
     Candidate selection uses the same ordering as the final ranking
     (rounded cosine desc, id asc), so the pre-reduction can never drop a
     row the final window would have kept."""
-    qrows = queries.select(query_id_col, query_vec_col).collect()  # broadcast-sized by contract
+    qrows = _collect_query_rows(
+        queries, [query_id_col, query_vec_col], max_query_rows,
+        "knn_join_topk")
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     id_type = embeddings.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine double"
@@ -153,11 +186,14 @@ def knn_join_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact k-NN join: every query row gets its top-k corpus neighbors.
 
     Queries must be broadcast-sized (they ride into the Arrow pass as a
-    numpy closure); the corpus side streams. Two stages:
+    numpy closure) — enforced via ``max_query_rows`` with a clear
+    ValueError rather than a driver OOM. The corpus side streams. Two
+    stages:
       1. per-partition bounded pre-reduction (_knn_partition_candidates):
          numpy-matmul scoring + a k-per-query running heap, so each corpus
          partition emits <= k * n_queries rows;
@@ -166,7 +202,8 @@ def knn_join_topk(
          query x corpus score matrix.
     """
     cand = _knn_partition_candidates(
-        embeddings, queries, k, id_col, vec_col, query_id_col, query_vec_col
+        embeddings, queries, k, id_col, vec_col, query_id_col,
+        query_vec_col, max_query_rows,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -326,8 +363,10 @@ def probe_lsh_index_many(
     k: int = 10,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
-    """BATCH ANN probe: top-k per query for a broadcast-sized query set.
+    """BATCH ANN probe: top-k per query for a broadcast-sized query set
+    (enforced via ``max_query_rows``: clear ValueError, not a driver OOM).
 
     The single-probe OR-filter does not scale past a handful of queries
     (the filter grows per query and every probe is its own job). Batch
@@ -342,7 +381,9 @@ def probe_lsh_index_many(
     Output: (query_id, id, cosine, rank) with rank <= k.
     """
     spark = index.df.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = _collect_query_rows(
+        queries, [query_id_col, query_vec_col], max_query_rows,
+        "probe_lsh_index_many")
     out_schema = (
         f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
         f"{index.id_col} {index.df.schema[index.id_col].dataType.simpleString()}, "
@@ -639,8 +680,10 @@ def probe_ivf_index_many(
     nprobe: int = 4,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
-    """BATCH IVF probe: top-k per query for a broadcast-sized query set.
+    """BATCH IVF probe: top-k per query for a broadcast-sized query set
+    (enforced via ``max_query_rows``: clear ValueError, not a driver OOM).
 
     Per query, the nprobe nearest cells are ranked driver-side against the
     kilobyte centroid table; the (query_id, _cell) pairs broadcast-join the
@@ -651,7 +694,9 @@ def probe_ivf_index_many(
     Output: (query_id, id, cosine, rank) with rank <= k.
     """
     spark = index.df.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = _collect_query_rows(
+        queries, [query_id_col, query_vec_col], max_query_rows,
+        "probe_ivf_index_many")
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     out_schema = (
         f"{query_id_col} {qid_t}, "

@@ -1806,7 +1806,8 @@ class TestDedupSimilarity:
         )
         k, nq, nparts = 5, 4, 7
         cand = similarity._knn_partition_candidates(
-            em, queries, k, "vec_id", "embedding", "query_id", "query_vec")
+            em, queries, k, "vec_id", "embedding", "query_id", "query_vec",
+            similarity.DEFAULT_MAX_QUERY_ROWS)
         n_cand = cand.count()
         n_corpus = em.count()
         assert n_cand <= k * nq * nparts, n_cand
@@ -2638,3 +2639,140 @@ class TestRound5AdviceRegressions:
         con.close()
         assert got_spark == ["https://a.example.com/x"]
         assert [r[0] for r in got_duck] == got_spark
+
+
+class TestQueryCollectGuards:
+    """r3/r4 VERDICT carry-over: every driver-side query-frame collect in
+    the kNN / batch-ANN paths must fail FAST and CLEARLY when the query
+    set exceeds its documented bound, instead of OOMing the driver — and
+    must keep working (exact same results) when the bound is raised."""
+
+    def _data(self, spark, n_corpus=40, n_queries=6, dim=8):
+        import random
+
+        rng = random.Random(23)
+        em = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(dim)])
+             for i in range(n_corpus)],
+            "vec_id long, embedding array<float>")
+        qs = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(dim)])
+             for i in range(n_queries)],
+            "query_id long, query_vec array<float>")
+        return em, qs
+
+    def test_knn_join_guard(self, spark):
+        em, qs = self._data(spark)
+        with pytest.raises(ValueError, match="knn_join_topk.*max_query_rows"):
+            similarity.knn_join_topk(em, qs, k=3, max_query_rows=5)
+        got = similarity.knn_join_topk(em, qs, k=3, max_query_rows=6)
+        assert got.count() == 18  # bound == size still works
+
+    def test_lsh_batch_probe_guard(self, spark):
+        em, qs = self._data(spark)
+        idx = similarity.build_lsh_index(em, dim=8, tables=2, planes=4)
+        with pytest.raises(ValueError,
+                           match="probe_lsh_index_many.*max_query_rows"):
+            similarity.probe_lsh_index_many(idx, qs, k=3, max_query_rows=5)
+        ok = similarity.probe_lsh_index_many(idx, qs, k=3, max_query_rows=6)
+        assert ok.count() >= 0  # plan builds and runs at the exact bound
+
+    def test_ivf_batch_probe_guard(self, spark):
+        em, qs = self._data(spark)
+        idx = similarity.build_ivf_index(em, dim=8, n_cells=4)
+        with pytest.raises(ValueError,
+                           match="probe_ivf_index_many.*max_query_rows"):
+            similarity.probe_ivf_index_many(idx, qs, k=3, max_query_rows=5)
+        ok = similarity.probe_ivf_index_many(idx, qs, k=3, max_query_rows=6)
+        assert ok.count() > 0
+
+
+class TestParagraphDedupPlanShape:
+    def test_paragraph_text_crosses_exactly_one_exchange(self, spark):
+        """Scale pin (r4 VERDICT #2): dedup_paragraphs is a touch-every-
+        byte curation pass — paragraph text must ship through exactly ONE
+        exchange (the id-keyed join that is co-partitioned with the
+        rebuild groupBy). Checked in the non-broadcast regime, i.e. the
+        corpus-scale plan where the winner side cannot broadcast; the
+        winner election itself must stay text-free."""
+        saved = {k: spark.conf.get(k, None) for k in
+                 ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.enabled")}
+        try:
+            for k in saved:
+                # AQE off so the Exchange nodes are walkable children
+                # (AdaptiveSparkPlanExec hides its inner plan as a leaf)
+                spark.conf.set(
+                    k, "false" if k.endswith("enabled") else "-1")
+            df = spark.createDataFrame(
+                [(i, f"boiler\npara{i}\nmore text") for i in range(50)],
+                "doc_id long, text string")
+            out = dedup.dedup_paragraphs(df)
+            plan = out._jdf.queryExecution().executedPlan()
+
+            def walk(node):
+                yield node
+                for i in range(node.children().length()):
+                    yield from walk(node.children().apply(i))
+
+            text_exchanges = []
+            for n in walk(plan):
+                if "Exchange" not in n.nodeName():
+                    continue
+                outs = [n.output().apply(i).name()
+                        for i in range(n.output().length())]
+                # text rides an exchange either as a raw 'para'/'text'
+                # column or inside a partial-aggregation 'buf' whose
+                # collect function captures para (the winners-side
+                # collect_set buf carries only idx ints — not text)
+                child = n.children().apply(0).simpleString(500)
+                if any(c in outs for c in ("para", "text")) or (
+                        "buf" in outs and "para" in child):
+                    text_exchanges.append(outs)
+            assert len(text_exchanges) == 1, text_exchanges
+            got = {(r.doc_id, r.text) for r in out.collect()}
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        # same answer in the default (broadcastable) regime
+        want = {(r.doc_id, r.text)
+                for r in dedup.dedup_paragraphs(df).collect()}
+        assert got == want and len(want) == 50
+
+
+class TestStratifiedSampleManyGroups:
+    def test_many_group_rates_build_fast_and_sample_correctly(self, spark):
+        """r4 VERDICT #6: the per-group threshold is ONE map literal, so a
+        caller stratifying by domain (thousands of groups) must not pay
+        O(groups) Catalyst/janino tree cost, and absent groups must keep
+        with default_rate (try_element_at under ANSI, not element_at)."""
+        import time as _time
+
+        from generative_ner_spark.operators import quality as Q
+
+        rates = {f"dom{i:04d}": (i % 10) / 10 for i in range(2000)}
+        df = spark.createDataFrame(
+            [(i, f"dom{i % 2100:04d}") for i in range(400)],
+            "doc_id long, grp string")
+        t0 = _time.time()
+        out = Q.stratified_hash_sample(
+            df, rates, group_col="grp", default_rate=1.0)
+        rows = out.collect()
+        build_and_run = _time.time() - t0
+        # chained-CASE trees at 2000 groups took tens of seconds to
+        # compile; the map literal stays well under this bound even on a
+        # loaded sandbox
+        assert build_and_run < 30, build_and_run
+        # groups >= dom2000 are absent from rates -> default_rate=1.0
+        absent = {r.doc_id for r in df.collect()
+                  if int(r.grp[3:]) >= 2000}
+        kept = {r.doc_id for r in rows}
+        assert absent <= kept
+        # rate-0.0 groups (i % 10 == 0) keep nothing
+        zero = {r.doc_id for r in df.collect()
+                if int(r.grp[3:]) < 2000 and int(r.grp[3:]) % 10 == 0}
+        assert not (zero & kept)

@@ -45,3 +45,42 @@ def test_salted_two_phase_agg_equals_plain(spark):
     )
     assert {(r.label, r["count"]) for r in salted.collect()} == plain
     m.unpersist()
+
+
+def test_domain_stats_absorbs_planted_hot_domain(spark):
+    """r4 VERDICT #7: web corpora have heavy-hitter domains — plant one
+    domain on 50% of all URLs and pin that (a) the agg runs with a
+    map-side partial (the reduce side sees per-partition partials, not
+    the raw hot-key rows) and (b) output is identical under different
+    shuffle.partitions (no accidental partition-count sensitivity)."""
+    from generative_ner_spark.operators import urls
+
+    rows = []
+    for i in range(2000):
+        if i % 2 == 0:
+            dom = "hot.example.com"          # 50% of all URLs
+        else:
+            dom = f"d{i % 400}.example.org"  # long tail
+        rows.append((i, f"text {i} see https://{dom}/p/{i} end"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = urls.domain_stats(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan[:2000]
+
+    def snap():
+        return {(r.domain, r.n_urls, r.n_docs)
+                for r in urls.domain_stats(df).collect()}
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snap()
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b
+    assert ("hot.example.com", 1000, 1000) in a
+    # odd doc_ids only hit odd residues -> 200 tail domains + the hot one
+    assert len(a) == 201
