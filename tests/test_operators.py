@@ -2776,3 +2776,29 @@ class TestStratifiedSampleManyGroups:
         zero = {r.doc_id for r in df.collect()
                 if int(r.grp[3:]) < 2000 and int(r.grp[3:]) % 10 == 0}
         assert not (zero & kept)
+
+
+class TestOpenAIAdapterTranslations:
+    """Hermetic pins for OpenAIBatchClient's two shape translations (the
+    realhttp-marked tests cover only the live transport)."""
+
+    def test_wrap_task_envelope(self):
+        task = {"custom_id": "task-7", "example_id": "e7",
+                "body": {"model": "m", "messages": [
+                    {"role": "user", "content": "hi"}]}}
+        env = batchapi.wrap_task_envelope(task)
+        assert env == {"custom_id": "task-7", "method": "POST",
+                       "url": "/v1/chat/completions", "body": task["body"]}
+        assert "example_id" not in env  # join column stays Spark-side
+
+    def test_flatten_result_line(self):
+        ok = {"custom_id": "task-1", "response": {"body": {"choices": [
+            {"message": {"role": "assistant", "content": "PER: Alice"}}]}}}
+        assert batchapi.flatten_result_line(ok) == {
+            "custom_id": "task-1", "generated_text": "PER: Alice"}
+        # errored / empty responses flatten to NULL, not a crash
+        for bad in ({"custom_id": "t", "response": None},
+                    {"custom_id": "t"},
+                    {"custom_id": "t", "response": {"body": {"choices": []}}}):
+            assert batchapi.flatten_result_line(bad) == {
+                "custom_id": "t", "generated_text": None}
