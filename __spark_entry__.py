@@ -825,6 +825,30 @@ def q42_interleaved_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q43_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (operators/tfidf.py): explode ->
+    map-side-combined (doc, term) counts, term-keyed doc-frequency agg,
+    one-row corpus-size broadcast, smoothed-idf scoring, per-doc window.
+    min_df=2 drops hapax noise; ties break on term asc (total order, so
+    the value hash is stable cross-engine)."""
+    from generative_ner_spark.operators import tfidf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf.tfidf_top_terms(d, top_k=5, min_df=2).orderBy(
+        "doc_id", "rank")
+
+
+def q44_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (quality.assign_split): pure
+    rowwise md5-interval assignment — hash-stable across re-runs and
+    cluster sizes (unlike randomSplit), zero shuffle. Weights 90/5/5;
+    intervals laid out in sorted-name order (test, train, valid)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return quality.assign_split(
+        d, {"train": 0.9, "valid": 0.05, "test": 0.05}
+    ).orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -925,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_domain_stats": q40_domain_stats,
         "q41_paragraph_dedup": q41_paragraph_dedup,
         "q42_interleaved_composition": q42_interleaved_composition,
+        "q43_tfidf_top_terms": q43_tfidf_top_terms,
+        "q44_split_assignment": q44_split_assignment,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1392,6 +1418,41 @@ def _paragraph_dedup_sql() -> str:
         GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _tfidf_sql(top_k: int = 5, min_df: int = 2) -> str:
+    """q43 oracle: replay tokenize -> tf -> df -> smoothed-idf score ->
+    per-doc top-k. Same explicit-whitespace-class tokenizer as q38;
+    score rounded to 6 on both sides; ties break (score desc, term asc)."""
+    toks = ("list_filter(regexp_split_to_array(lower(text), "
+            "'[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')")
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        docfreq AS (
+            SELECT term, count(*) AS df
+            FROM tf GROUP BY term HAVING count(*) >= {min_df}
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+                   round(tf.tf * (ln((n.n_docs + 1) / (docfreq.df + 1))
+                                  + 1), 6) AS score
+            FROM tf JOIN docfreq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {top_k}
+        ORDER BY doc_id, rank"""
+
+
 def _composition_sql() -> str:
     """q42 oracle: the span construction is pure doc_id arithmetic, so the
     features collapse to CASE expressions."""
@@ -1784,6 +1845,20 @@ def oracle_sql() -> dict[str, str]:
         "q40_domain_stats": _domain_stats_sql(),
         "q41_paragraph_dedup": _paragraph_dedup_sql(),
         "q42_interleaved_composition": _composition_sql(),
+        "q43_tfidf_top_terms": _tfidf_sql(top_k=5, min_df=2),
+        # q44: replay the md5-interval split. Sorted-name cumulative
+        # edges for {train:.9, valid:.05, test:.05} -> test<50000,
+        # train<950000, valid otherwise (last split takes the slack).
+        "q44_split_assignment": """
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substring(md5('split:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                             % 1000000 < 50000 THEN 'test'
+                        WHEN CAST('0x' || substring(md5('split:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                             % 1000000 < 950000 THEN 'train'
+                        ELSE 'valid' END AS split
+            FROM documents ORDER BY doc_id""",
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,
                                                     shingle_n=5, threshold=0.8),

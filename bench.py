@@ -53,6 +53,8 @@ HEADLINE = [
     "q40_domain_stats",
     "q41_paragraph_dedup",
     "q42_interleaved_composition",
+    "q43_tfidf_top_terms",
+    "q44_split_assignment",
     "kg_mention_counts",
     "kg_triples",
 ]

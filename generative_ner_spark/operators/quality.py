@@ -232,6 +232,42 @@ def stratified_hash_sample(
     return df.where(_md5_mod_1m(key_col, salt) < threshold)
 
 
+def assign_split(
+    df: DataFrame,
+    weights: dict,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test split assignment: every row gets the
+    split whose cumulative md5-hash interval contains md5(salt:key) mod
+    10^6. The split staple of a training-data pipeline done the only way
+    that survives re-runs and cluster-size changes: a pure rowwise
+    function of the key — no RNG, no shuffle, no sort; re-running on a
+    grown corpus keeps every previously-assigned row in its split
+    (hash-stable), unlike randomSplit. Weights are normalized; interval
+    edges are round()ed the same way hash_sample_cond rounds (cross-engine
+    threshold parity). Split names are assigned in sorted-name order so
+    the interval layout is reproducible from the dict alone.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"weights must sum > 0, got {weights}")
+    edges: list[tuple[str, int]] = []  # (name, exclusive upper edge)
+    acc = 0.0
+    for name in sorted(weights):
+        acc += weights[name] / total
+        edges.append((name, round(acc * 1_000_000)))
+    edges[-1] = (edges[-1][0], 1_000_000)  # float-sum slack: last takes all
+    h = _md5_mod_1m(key_col, salt)
+    expr = F.lit(edges[-1][0])
+    for name, hi in reversed(edges[:-1]):
+        expr = F.when(h < F.lit(hi), F.lit(name)).otherwise(expr)
+    # O(splits) CASE tree: splits are 2-5 names, never the O(groups)
+    # stratified-rates hazard
+    return df.withColumn(out_col, expr)
+
+
 def repetition_features(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, published

@@ -1,0 +1,152 @@
+"""Fuzzy-dedup scale evidence (r4 VERDICT #3): near_dedup_documents at
+>= 1M docs at TWO parallelism levels, byte-identical survivor sets.
+
+Input is generated INSIDE each level's session as pure deterministic
+column expressions of doc_id (no RNG, no files): n_base clusters x n_rep
+suffix-mutated replicas. Every replica shares its cluster's 40 md5-derived
+tokens and differs only in one trailing token, so 5-gram shingle Jaccard
+~= 36/38 = 0.947 > 0.8 — each cluster must collapse to its min doc_id
+(= the cluster index, since doc_id = base + rep * n_base), and clusters
+share no tokens, so the survivor set is EXACTLY {0..n_base-1}. That makes
+correctness checkable by count + order-independent fingerprint, not just
+"same at both levels".
+
+Usage: python scripts/scale_fuzzy.py [n_docs] [n_rep] [trials]
+       (defaults 1000000, 4, 2; SCALE_LEVELS="LO,HI" like bench_scaling)
+Writes BENCH/SCALING_FUZZY.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, sys, time
+master, n_docs, n_rep, trials = (sys.argv[1], int(sys.argv[2]),
+                                 int(sys.argv[3]), int(sys.argv[4]))
+cores = int(master.split("[")[1].rstrip("]"))
+n_base = n_docs // n_rep
+from pyspark.sql import functions as F
+from generative_ner_spark.plans.session import build_session
+from generative_ner_spark.operators import dedup
+spark = build_session(app_name=f"fuzzy-scale-{cores}", master=master,
+                      shuffle_partitions=cores * 2)
+spark.sparkContext.setLogLevel("ERROR")
+
+def corpus(n):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.expr(
+                f"transform(sequence(0, 39), i -> substring(md5(concat("
+                f"cast(id % {n_base} as string), '-', cast(i as string))),"
+                f" 1, 8))")),
+            F.concat(F.lit("tail"),
+                     (F.col("id").cast("long") / F.lit(n_base))
+                     .cast("int").cast("string")),
+        ).alias("text"),
+    )
+
+# warm up (plan compile + python workers) on a small slice
+dedup.near_dedup_documents(corpus(2000), scheme="oph").count()
+
+docs = corpus(n_docs).repartition(cores * 2).persist()
+docs.count()  # input materialized before the clock
+
+best = None
+for _ in range(trials):
+    t0 = time.time()
+    surv = dedup.near_dedup_documents(docs, scheme="oph")
+    fp_row = surv.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id))").alias("fp"),
+        F.sum("doc_id").alias("s"),
+    ).first()
+    wall = time.time() - t0
+    best = (wall, fp_row) if best is None or wall < best[0] else best
+wall, fp_row = best
+print("FUZZYRESULT " + json.dumps({
+    "master": master, "cores": cores, "n_docs": n_docs, "n_rep": n_rep,
+    "wall_sec": round(wall, 2),
+    "docs_per_sec": round(n_docs / wall, 2),
+    "survivors": fp_row["n"],
+    "survivor_fingerprint": str(fp_row["fp"]),
+    "survivor_id_sum": str(fp_row["s"]),
+    "expected_survivors": n_base,
+    "expected_id_sum": str(n_base * (n_base - 1) // 2),
+}))
+"""
+
+
+def run_level(master: str, n_docs: int, n_rep: int, trials: int,
+              timeout: int | None = None) -> dict:
+    timeout = timeout or max(3600, int(n_docs / 1_000_000 * 7200 * trials))
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, master, str(n_docs), str(n_rep),
+         str(trials)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=timeout,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("FUZZYRESULT "):
+            return json.loads(line[len("FUZZYRESULT "):])
+    raise RuntimeError(
+        f"no result from {master}: stdout={out.stdout[-2000:]} "
+        f"stderr={out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spec = os.environ.get("SCALE_LEVELS", "4,16")
+    n_lo, n_hi = (int(x) for x in spec.split(","))
+    lo = run_level(f"local[{n_lo}]", n_docs, n_rep, trials)
+    hi = run_level(f"local[{n_hi}]", n_docs, n_rep, trials)
+    identical = (lo["survivors"] == hi["survivors"]
+                 and lo["survivor_fingerprint"] == hi["survivor_fingerprint"]
+                 and lo["survivor_id_sum"] == hi["survivor_id_sum"])
+    exact = (lo["survivors"] == lo["expected_survivors"]
+             and lo["survivor_id_sum"] == lo["expected_id_sum"])
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    summary = {
+        "n_docs": n_docs, "n_rep": n_rep, "trials": trials,
+        "levels": [n_lo, n_hi], "lo": lo, "hi": hi,
+        "speedup_lo_to_hi": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (n_hi / n_lo), 3),
+        "survivor_sets_identical": identical,
+        "survivor_set_exactly_expected": exact,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "SCALING_FUZZY.md"), "w") as f:
+        f.write(
+            "# Fuzzy-dedup scale evidence (near_dedup_documents, OPH "
+            "minhash family)\n\n"
+            f"{n_docs:,} docs = {n_docs // n_rep:,} clusters x {n_rep} "
+            "suffix-mutated replicas\n"
+            "(5-gram shingle Jaccard ~0.947 inside a cluster, 0 across), "
+            f"best of {trials} trial(s)\nper level in separate JVMs.\n\n"
+            "| level | cores | wall (s) | docs/s | survivors |\n"
+            "|---|---|---|---|---|\n"
+            f"| local[{n_lo}] | {n_lo} | {lo['wall_sec']} | "
+            f"{lo['docs_per_sec']} | {lo['survivors']} |\n"
+            f"| local[{n_hi}] | {n_hi} | {hi['wall_sec']} | "
+            f"{hi['docs_per_sec']} | {hi['survivors']} |\n\n"
+            f"speedup {n_lo}->{n_hi}: **{summary['speedup_lo_to_hi']}x**; "
+            f"efficiency **{summary['scaling_efficiency']}**\n\n"
+            f"survivor sets identical across levels (count + xxhash64 "
+            f"fingerprint + id sum): **{identical}**\n\n"
+            f"survivor set == the analytically expected "
+            f"{{0..{n_docs // n_rep - 1}}}: **{exact}**\n"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

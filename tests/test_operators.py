@@ -2802,3 +2802,69 @@ class TestOpenAIAdapterTranslations:
                     {"custom_id": "t", "response": {"body": {"choices": []}}}):
             assert batchapi.flatten_result_line(bad) == {
                 "custom_id": "t", "generated_text": None}
+
+
+class TestTfidf:
+    def test_scores_and_ranking(self, spark):
+        """Hand-checked smoothed TF-IDF: 'apple' appears in 1 of 3 docs
+        (idf = ln(4/2)+1), 'the' in all 3 (idf = ln(4/4)+1 = 1); top-1
+        of doc 1 must be its distinctive term, not the stopword."""
+        import math
+
+        from generative_ner_spark.operators import tfidf
+
+        df = spark.createDataFrame(
+            [(1, "the apple the apple apple"),
+             (2, "banana the"),
+             (3, "the cherry")],
+            "doc_id long, text string")
+        out = tfidf.tfidf_top_terms(df, top_k=2, min_df=1).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        top1 = {d: rows[0].term for d, rows in by_doc.items()}
+        assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+        apple = [r for r in by_doc[1] if r.term == "apple"][0]
+        assert apple.tf == 3 and apple.df == 1
+        assert apple.score == round(3 * (math.log(4 / 2) + 1), 6)
+        the2 = [r for r in by_doc[2] if r.term == "the"][0]
+        # idf of an everywhere-term = ln(4/4)+1 = 1 -> score == tf == 1
+        assert the2.score == 1.0
+
+    def test_min_df_and_tie_break(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        df = spark.createDataFrame(
+            [(1, "zz aa zz aa"), (2, "aa zz rare")],
+            "doc_id long, text string")
+        out = tfidf.tfidf_top_terms(df, top_k=3, min_df=2).collect()
+        assert all(r.term != "rare" for r in out)  # df=1 < min_df
+        d1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.rank)
+        # identical tf/df -> identical score -> term asc tie-break
+        assert [r.term for r in d1] == ["aa", "zz"]
+
+
+class TestAssignSplit:
+    def test_split_stability_and_weights(self, spark):
+        """assign_split is a pure rowwise function of the key: re-running
+        on a GROWN corpus must keep every old row's split (the property
+        randomSplit lacks), weights normalize, and fractions land near
+        the targets."""
+        from generative_ner_spark.operators import quality as Q
+
+        w = {"train": 18, "valid": 1, "test": 1}  # unnormalized on purpose
+        small = spark.range(2000).select(F.col("id").alias("doc_id"))
+        big = spark.range(4000).select(F.col("id").alias("doc_id"))
+        s1 = {r.doc_id: r.split for r in Q.assign_split(small, w).collect()}
+        s2 = {r.doc_id: r.split for r in Q.assign_split(big, w).collect()}
+        assert all(s2[k] == v for k, v in s1.items())  # hash-stable growth
+        frac = sum(1 for v in s2.values() if v == "train") / len(s2)
+        assert 0.85 < frac < 0.95
+        assert set(s2.values()) == {"train", "valid", "test"}
+
+    def test_zero_weight_rejected(self, spark):
+        from generative_ner_spark.operators import quality as Q
+
+        df = spark.range(3).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError, match="sum > 0"):
+            Q.assign_split(df, {"train": 0.0})
