@@ -849,6 +849,20 @@ def q44_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q45_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval (operators/bm25.py): query terms ride
+    a literal isin pushdown filter on the tf scan, corpus constants a
+    one-row broadcast, per-query-term doc frequencies a broadcast join on
+    the slim hit rows, top-k via TakeOrderedAndProject. Lucene-style
+    non-negative idf; ties break on doc_id asc (total order)."""
+    from generative_ner_spark.operators import bm25
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25.bm25_search(
+        d, ["spark", "vector", "stream"], top_k=10
+    ).orderBy("rank")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -951,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_interleaved_composition": q42_interleaved_composition,
         "q43_tfidf_top_terms": q43_tfidf_top_terms,
         "q44_split_assignment": q44_split_assignment,
+        "q45_bm25_search": q45_bm25_search,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1453,6 +1468,53 @@ def _tfidf_sql(top_k: int = 5, min_df: int = 2) -> str:
         ORDER BY doc_id, rank"""
 
 
+def _bm25_sql(terms: tuple = ("spark", "vector", "stream"),
+              k1: float = 1.2, b: float = 0.75, top_k: int = 10) -> str:
+    """q45 oracle: replay tokenize -> tf -> doc lengths -> corpus
+    constants -> Lucene-idf BM25 -> top-k. Same tokenizer class as
+    q43/q38; per-term contributions and the doc sum rounded to 6 on both
+    sides; avg_dl = total tokens / n_docs (token-free docs dilute it),
+    matching bm25_scores."""
+    toks = ("list_filter(regexp_split_to_array(lower(text), "
+            "'[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')")
+    in_list = ", ".join(f"'{t}'" for t in sorted(terms))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        meta AS (
+            SELECT (SELECT count(*) FROM documents) AS n,
+                   (SELECT coalesce(sum(tf), 0) FROM tf) AS tok_total
+        ),
+        hits AS (SELECT * FROM tf WHERE term IN ({in_list})),
+        dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+        scored AS (
+            SELECT h.doc_id,
+                   round(ln(1 + (m.n - d.df + 0.5) / (d.df + 0.5))
+                         * h.tf * ({k1} + 1)
+                         / (h.tf + {k1} * (1 - {b} + {b} * l.dl
+                            / (m.tok_total * 1.0 / m.n))), 6) AS s
+            FROM hits h
+            JOIN dfreq d USING (term)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN meta m
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_terms_hit,
+                   round(sum(s), 6) AS score
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_hit, score,
+               CAST(row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM agg ORDER BY score DESC, doc_id ASC LIMIT {top_k}"""
+
+
 def _composition_sql() -> str:
     """q42 oracle: the span construction is pure doc_id arithmetic, so the
     features collapse to CASE expressions."""
@@ -1846,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
         "q41_paragraph_dedup": _paragraph_dedup_sql(),
         "q42_interleaved_composition": _composition_sql(),
         "q43_tfidf_top_terms": _tfidf_sql(top_k=5, min_df=2),
+        "q45_bm25_search": _bm25_sql(),
         # q44: replay the md5-interval split. Sorted-name cumulative
         # edges for {train:.9, valid:.05, test:.05} -> test<50000,
         # train<950000, valid otherwise (last split takes the slack).

@@ -55,6 +55,7 @@ HEADLINE = [
     "q42_interleaved_composition",
     "q43_tfidf_top_terms",
     "q44_split_assignment",
+    "q45_bm25_search",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -2868,3 +2868,42 @@ class TestAssignSplit:
         df = spark.range(3).select(F.col("id").alias("doc_id"))
         with pytest.raises(ValueError, match="sum > 0"):
             Q.assign_split(df, {"train": 0.0})
+
+
+class TestBm25:
+    def test_hand_checked_scores(self, spark):
+        """3-doc corpus, query {apple}: idf = ln(1+(3-1+0.5)/(1+0.5));
+        doc 1 has tf=2, dl=4; avg_dl = 9/3 = 3. Verify the exact Okapi
+        value and that a doc without the term is absent."""
+        import math
+
+        from generative_ner_spark.operators import bm25
+
+        df = spark.createDataFrame(
+            [(1, "apple pie apple crumble"),   # dl 4, tf(apple)=2
+             (2, "banana bread loaf"),         # dl 3, no hit
+             (3, "cherry apple")],             # dl 2, tf(apple)=1
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               bm25.bm25_search(df, ["apple"], top_k=10).collect()}
+        assert set(out) == {1, 3}
+        k1, b = 1.2, 0.75
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+        s1 = round(idf * 2 * (k1 + 1) / (2 + k1 * (1 - b + b * 4 / 3)), 6)
+        assert out[1].score == round(s1, 6)
+        assert out[1].rank == 1 and out[1].n_terms_hit == 1
+
+    def test_multi_term_and_ties(self, spark):
+        """Two query terms sum per doc; identical docs tie and break on
+        doc_id asc; empty query raises."""
+        from generative_ner_spark.operators import bm25
+
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "z")],
+            "doc_id long, text string")
+        rows = bm25.bm25_search(df, ["x", "y", "X"]).collect()
+        assert [r.doc_id for r in rows] == [1, 2]  # tie -> id asc
+        assert rows[0].score == rows[1].score
+        assert rows[0].n_terms_hit == 2
+        with pytest.raises(ValueError, match="at least one term"):
+            bm25.bm25_search(df, [""])
