@@ -863,6 +863,26 @@ def q45_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py): every error event
+    gains its user's most recent purchase at-or-before it — the
+    single-shuffle union+window encoding (one Exchange on user_id, no
+    range-join explosion). Left join: errors with no prior purchase keep
+    nulls. DuckDB replays with its native ASOF LEFT JOIN."""
+    from generative_ner_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    return temporal.asof_join(
+        errors, purchases, key_cols=["user_id"],
+        right_payload=["event_id", "value"], suffix="_p",
+        right_seq_col="event_id",
+    ).orderBy("event_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -966,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_tfidf_top_terms": q43_tfidf_top_terms,
         "q44_split_assignment": q44_split_assignment,
         "q45_bm25_search": q45_bm25_search,
+        "q46_asof_join": q46_asof_join,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1909,6 +1930,18 @@ def oracle_sql() -> dict[str, str]:
         "q42_interleaved_composition": _composition_sql(),
         "q43_tfidf_top_terms": _tfidf_sql(top_k=5, min_df=2),
         "q45_bm25_search": _bm25_sql(),
+        # q46: DuckDB's native ASOF LEFT JOIN is the reference semantics
+        # for the union+window encoding (greatest r.ts <= l.ts per key;
+        # unmatched left rows keep nulls)
+        "q46_asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_p, r.event_id AS event_id_p,
+                   r.value AS value_p
+            FROM (SELECT * FROM events WHERE event_type = 'error') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",
         # q44: replay the md5-interval split. Sorted-name cumulative
         # edges for {train:.9, valid:.05, test:.05} -> test<50000,
         # train<950000, valid otherwise (last split takes the slack).

@@ -56,6 +56,7 @@ HEADLINE = [
     "q43_tfidf_top_terms",
     "q44_split_assignment",
     "q45_bm25_search",
+    "q46_asof_join",
     "kg_mention_counts",
     "kg_triples",
 ]

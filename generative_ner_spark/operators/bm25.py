@@ -110,3 +110,116 @@ def bm25_search(
     # top_k rows, not the corpus
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# Written, term-bucketed index: the 100 TB probe path (same family as the
+# written LSH/IVF indexes in similarity.py — build once, partition-pruned
+# probes forever).
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+_MANIFEST = "_bm25_manifest.json"
+
+
+@dataclass
+class WrittenBm25Index:
+    df: DataFrame          # (id, term, tf, dl, _bucket) — _bucket from dirs
+    n_docs: int
+    total_tokens: int
+    n_buckets: int
+    id_col: str
+
+
+def write_bm25_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                     text_col: str = "text", n_buckets: int = 64) -> None:
+    """Persist the inverted statistics for PARTITION-PRUNED BM25 probes.
+
+    Rows are (id, term, tf, dl) — dl denormalized onto every posting so a
+    probe needs no second table — written ``partitionBy(_bucket)`` where
+    ``_bucket = pmod(xxhash64(term), n_buckets)``. A probe computes its
+    query terms' buckets and reads exactly those directories: FILE-level
+    pruning, like write_lsh_index/write_ivf_index. Per-term document
+    frequencies are NOT stored: df(t) is the posting count of t, which
+    the probe recovers for free from the (complete) bucket rows it reads.
+
+    The corpus constants (n_docs, total tokens) ride a JSON manifest so a
+    later session probes without touching the corpus.
+    """
+    import json
+    import os
+
+    tf = term_frequencies(df, id_col, text_col)
+    dl = doc_lengths(tf)
+    meta = df.select(F.count("*")).crossJoin(
+        tf.select(F.coalesce(F.sum("tf"), F.lit(0)))).first()
+    postings = tf.join(dl, "id").withColumn(
+        "_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    postings.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+    manifest = {"n_docs": int(meta[0]), "total_tokens": int(meta[1]),
+                "n_buckets": n_buckets, "id_col": id_col}
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_bm25_index(spark, path: str) -> WrittenBm25Index:
+    """Reload a written BM25 index (see write_bm25_index). ``_bucket``
+    comes back from the directory layout, so probe filters prune at the
+    FILE level."""
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST)) as f:
+        m = json.load(f)
+    return WrittenBm25Index(spark.read.parquet(path), m["n_docs"],
+                            m["total_tokens"], m["n_buckets"], m["id_col"])
+
+
+def probe_bm25_index(
+    windex: WrittenBm25Index,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 over a written index — scores identical to
+    bm25_search on the source corpus (pinned by test). The query terms'
+    buckets are computed with the SAME xxhash64 in a |query|-row driver
+    job, then pushed as a literal ``_bucket IN (...)`` partition filter:
+    the probe reads only those directories, never the full index."""
+    terms = sorted({t.lower() for t in query_terms if t})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    spark = windex.df.sparkSession
+    buckets = sorted({
+        r[0] for r in spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        ).select(
+            F.pmod(F.xxhash64("term"), F.lit(windex.n_buckets))
+        ).collect()
+    })
+    hits = windex.df.where(
+        F.col("_bucket").isin(buckets) & F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = windex.total_tokens / windex.n_docs
+    n = windex.n_docs
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = F.round(
+        idf * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        6,
+    )
+    id_col = windex.id_col
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .withColumn("_s", contrib)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_terms_hit"),
+             F.round(F.sum("_s"), 6).alias("score"))
+        .select(F.col("id").alias(id_col), "n_terms_hit", "score")
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))

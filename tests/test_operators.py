@@ -2907,3 +2907,103 @@ class TestBm25:
         assert rows[0].n_terms_hit == 2
         with pytest.raises(ValueError, match="at least one term"):
             bm25.bm25_search(df, [""])
+
+    def test_written_bm25_index_partition_pruned_probe(self, spark, tmp_path):
+        """write_bm25_index partitionBy(_bucket = pmod(xxhash64(term),
+        n_buckets)) gives probes that (a) score identically to the inline
+        bm25_search on the source corpus and (b) read ONLY the query
+        terms' bucket directories — FILE-level pruning, same family as
+        the written LSH/IVF indexes."""
+        import glob
+
+        from generative_ner_spark.operators import bm25
+
+        rows = [(i, f"alpha beta w{i} w{i} gamma" if i % 3 == 0
+                 else f"delta w{i} epsilon") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        terms = ["alpha", "gamma"]
+        fresh = [(r.doc_id, r.n_terms_hit, r.score, r.rank) for r in
+                 bm25.bm25_search(df, terms, top_k=7).collect()]
+        p = str(tmp_path / "bm25")
+        bm25.write_bm25_index(df, p, n_buckets=16)
+        windex = bm25.read_bm25_index(spark, p)
+        assert windex.n_docs == 60 and windex.n_buckets == 16
+        probe = bm25.probe_bm25_index(windex, terms, top_k=7)
+        assert [(r.doc_id, r.n_terms_hit, r.score, r.rank)
+                for r in probe.collect()] == fresh
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_bucket" in plan
+        # FILE-level pruning: the probed scan touches only the query
+        # buckets' directories — strictly fewer files than the index
+        buckets = {
+            r[0] for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(16))).collect()
+        }
+        read_files = {
+            r[0] for r in windex.df
+            .where(F.col("_bucket").isin([int(b) for b in buckets]))
+            .select(F.input_file_name()).distinct().collect()
+        }
+        all_files = set(glob.glob(p + "/_bucket=*/*.parquet"))
+        assert 0 < len(read_files) < len(all_files)
+        assert all(any(f"_bucket={b}/" in f for b in buckets)
+                   for f in read_files)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from datetime import datetime as dt
+
+        left = spark.createDataFrame(
+            [(1, 100, dt(2024, 1, 1, 10, 0, 0)),
+             (2, 100, dt(2024, 1, 1, 12, 0, 0)),
+             (3, 200, dt(2024, 1, 1, 9, 0, 0))],
+            "lid long, user_id long, ts timestamp")
+        right = spark.createDataFrame(
+            [(100, dt(2024, 1, 1, 10, 0, 0), 11, 1.5),   # == l1.ts
+             (100, dt(2024, 1, 1, 11, 30, 0), 12, 2.5),
+             (200, dt(2024, 1, 1, 9, 30, 0), 13, 3.5)],  # after l3
+            "user_id long, ts timestamp, rid long, v double")
+        return left, right
+
+    def test_backward_inclusive_and_left_nulls(self, spark):
+        from generative_ner_spark.operators import temporal
+
+        left, right = self._frames(spark)
+        out = {r.lid: r for r in temporal.asof_join(
+            left, right, ["user_id"], suffix="_r",
+            right_seq_col="rid").collect()}
+        assert out[1].rid_r == 11          # equal ts matches (inclusive)
+        assert out[2].rid_r == 12          # most recent, not first
+        assert out[3].rid_r is None and out[3].ts_r is None  # left join
+        assert set(out[2].asDict()) == {
+            "lid", "user_id", "ts", "ts_r", "rid_r", "v_r"}
+
+    def test_equal_ts_seq_tiebreak(self, spark):
+        """Two right rows at the same (key, ts): the larger seq wins —
+        deterministic regardless of partitioning."""
+        from datetime import datetime as dt
+
+        from generative_ner_spark.operators import temporal
+
+        left = spark.createDataFrame(
+            [(1, 5, dt(2024, 1, 1, 12, 0, 0))],
+            "lid long, k long, ts timestamp")
+        right = spark.createDataFrame(
+            [(5, dt(2024, 1, 1, 11, 0, 0), 7),
+             (5, dt(2024, 1, 1, 11, 0, 0), 9)],
+            "k long, ts timestamp, rid long").repartition(4)
+        out = temporal.asof_join(
+            left, right, ["k"], right_seq_col="rid").collect()
+        assert out[0].rid_r == 9
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from generative_ner_spark.operators import temporal
+
+        left, right = self._frames(spark)
+        out = {r.lid: r for r in temporal.asof_join(
+            left, right, ["user_id"], right_seq_col="rid",
+            tolerance_seconds=600).collect()}
+        assert out[1].rid_r == 11    # 0 s old: kept
+        assert out[2].rid_r is None  # 30 min old > 10 min tolerance
