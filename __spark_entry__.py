@@ -883,6 +883,49 @@ def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q47_capped_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing (quality.capped_group_sample): keep at most 50
+    events per event_type, deterministically the 50 with the smallest
+    (md5 rank, id). Two-phase window — rank inside (group, hash-salt
+    bucket) first, then over the <= buckets*n survivors — so a hot group
+    never lands on one reducer; exact because a global top-n row is
+    always in its own bucket's top-n."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return quality.capped_group_sample(
+        ev, "event_type", 50, key_col="event_id"
+    ).orderBy("event_id")
+
+
+def q48_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/cluster.py): distributed spherical k-means,
+    then drop rows with a smaller-id same-cell neighbor at cosine >=
+    0.99. Planted structural oracle (q25/q29 pattern): exact copies of
+    vecs 0..9 are appended at ids 1000000+i — identical vectors always
+    share a cell (equal inputs assign equally), so every copy must be
+    dropped and, with max random-pair cosine ~0.33 << 0.99, every
+    original kept; the decision table is then fully SQL-expressible."""
+    from generative_ner_spark.operators import cluster
+
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = em.where("vec_id < 10").select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    return cluster.semantic_dedup(
+        em.unionByName(copies), dim=64, k=8, iters=3, cosine_threshold=0.99
+    ).orderBy("vec_id")
+
+
+def q49_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (quality.grouped_quantiles): p25/50/75/90
+    of event value per event_type via Spark's exact `percentile` — the
+    same linear-interpolation definition as DuckDB quantile_cont, so the
+    values hash-match at 6dp. exact=False (approx_percentile sketch) is
+    the documented 100 TB path."""
+    ev = _t(spark, sf_dir, "events")
+    return quality.grouped_quantiles(ev, "event_type", "value").orderBy(
+        "event_type", "p")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -987,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_split_assignment": q44_split_assignment,
         "q45_bm25_search": q45_bm25_search,
         "q46_asof_join": q46_asof_join,
+        "q47_capped_group_sample": q47_capped_group_sample,
+        "q48_semantic_dedup": q48_semantic_dedup,
+        "q49_grouped_quantiles": q49_grouped_quantiles,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1955,6 +2001,35 @@ def oracle_sql() -> dict[str, str]:
                              % 1000000 < 950000 THEN 'train'
                         ELSE 'valid' END AS split
             FROM documents ORDER BY doc_id""",
+        "q47_capped_group_sample": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (PARTITION BY event_type
+                         ORDER BY CAST('0x' || substring(md5('cap:' ||
+                                       CAST(event_id AS VARCHAR)), 1, 15)
+                                       AS BIGINT),
+                                  event_id) AS rn
+              FROM events) WHERE rn <= 50 ORDER BY event_id""",
+        # q48: planted structural oracle — identical vectors must share a
+        # k-means cell (equal inputs assign equally), so the appended
+        # exact copies are guaranteed candidates at cosine 1.0 >= 0.99
+        # and must drop; max random-pair cosine ~0.33 << 0.99 keeps every
+        # original. The decision table is then pure SQL.
+        "q48_semantic_dedup": """
+            SELECT vec_id, vec_id < 1000000 AS kept FROM (
+              SELECT vec_id FROM embeddings
+              UNION ALL
+              SELECT 1000000 + vec_id AS vec_id FROM embeddings
+              WHERE vec_id < 10)
+            ORDER BY vec_id""",
+        "q49_grouped_quantiles": """
+            SELECT event_type, p, q FROM (
+              SELECT event_type,
+                     CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p,
+                     round(CAST(unnest(quantile_cont(value,
+                           [0.25, 0.5, 0.75, 0.9])) AS DOUBLE), 6) AS q
+              FROM events GROUP BY event_type)
+            ORDER BY event_type, p""",
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,
                                                     shingle_n=5, threshold=0.8),

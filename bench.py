@@ -57,6 +57,9 @@ HEADLINE = [
     "q44_split_assignment",
     "q45_bm25_search",
     "q46_asof_join",
+    "q47_capped_group_sample",
+    "q48_semantic_dedup",
+    "q49_grouped_quantiles",
     "kg_mention_counts",
     "kg_triples",
 ]

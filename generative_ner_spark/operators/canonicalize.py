@@ -368,13 +368,20 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = edges.select("a", "b").collect()
-        for r in rows:
-            ra, rb = find(r.a), find(r.b)
+        # Arrow collect (toPandas + tolist -> python natives), NOT
+        # .collect(): row-at-a-time pickle deserialization of 1.5M edge
+        # Rows cost ~30s of pure driver serial time in the 1M-doc scale
+        # profile; the Arrow path moves the same edges in ~1s and the
+        # union-find loop itself is the only remaining serial work
+        pdf = edges.select("a", "b").toPandas()
+        col_a, col_b = pdf["a"].tolist(), pdf["b"].tolist()
+        for ea, eb in zip(col_a, col_b):
+            ra, rb = find(ea), find(eb)
             if ra != rb:
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
-        nodes = {x for r in rows for x in (r.a, r.b)}
+        nodes = set(col_a)
+        nodes.update(col_b)
         out = [(x, find(x)) for x in sorted(nodes)]
         if stats is not None:
             stats.update(rounds=0, converged=True, regime="driver")

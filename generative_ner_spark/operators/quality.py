@@ -379,3 +379,104 @@ def minhash_signature_col(col: str, n: int = 5) -> Column:
         f"array_min(transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
         f"i -> md5(substring({col}, i, {n}))))"
     )
+
+
+def capped_group_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the n with the smallest
+    (md5(salt:key), key) rank — deterministically and skew-proof.
+
+    The domain-balancing staple (CCNet/Dolma: "at most N pages per
+    domain"): reproducible on any cluster size because the rank is a
+    pure hash, no RNG, no sort-the-corpus.
+
+    A single window over ``group_col`` would put a hot group (one
+    domain = half the web) on ONE reducer. Two phases instead:
+
+    1. rank within (group, hash-salt bucket) — each bucket sees
+       ~1/salt_buckets of the group, so the worst reducer holds
+       |hottest group| / salt_buckets rows — and keep n per bucket;
+    2. rank the <= salt_buckets * n survivors per group globally
+       (tiny by construction).
+
+    Exact: any row in a group's global top-n by (rank, key) is also in
+    the top-n of its own bucket, so phase 1 never evicts a winner.
+    Output = input columns (internal rank/bucket columns dropped).
+    """
+    from pyspark.sql import Window
+
+    rank = _md5_rank(key_col, salt)
+    bucket = F.pmod(F.xxhash64(F.concat(F.lit("capb:"),
+                                        F.col(key_col).cast("string"))),
+                    F.lit(salt_buckets))
+    staged = df.withColumn("_rk", rank).withColumn("_bk", bucket)
+    w1 = Window.partitionBy(group_col, "_bk").orderBy("_rk", key_col)
+    phase1 = (
+        staged.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_bk")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_rk", key_col)
+    return (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_rk")
+    )
+
+
+def _md5_rank(key_col: str, salt: str) -> Column:
+    """Full 60-bit md5-prefix rank (the sampling family's hash without
+    the modulus) — cross-engine: DuckDB replays it as
+    CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple = (0.25, 0.5, 0.75, 0.9),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column -> (group, p, q) rows.
+
+    Corpus length/score distribution reporting. ``exact=True`` uses
+    Spark's exact ``percentile`` (linear interpolation, the same
+    definition as DuckDB/ANSI quantile_cont — hash-matchable) but its
+    aggregation buffer holds the group's distinct values: fine for
+    per-language stats, NOT for a 100 TB ungrouped run. ``exact=False``
+    is the scale path: ``approx_percentile`` (KLL-style sketch, bounded
+    memory, mergeable map-side) — no cross-engine oracle, rows-only
+    checkable. Output q rounded to 6dp for stable value hashing.
+    """
+    plist = [float(p) for p in probs]
+    agg = (
+        F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in plist]))
+        if exact
+        else F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(p) for p in plist]),
+            F.lit(accuracy))
+    )
+    out = df.groupBy(group_col).agg(agg.alias("_qs"))
+    return out.select(
+        group_col,
+        F.posexplode("_qs").alias("_i", "q"),
+    ).select(
+        group_col,
+        F.element_at(F.array(*[F.lit(p) for p in plist]),
+                     F.col("_i") + 1).alias("p"),
+        F.round(F.col("q").cast("double"), 6).alias("q"),
+    )

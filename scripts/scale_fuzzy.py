@@ -85,10 +85,18 @@ print("FUZZYRESULT " + json.dumps({
 def run_level(master: str, n_docs: int, n_rep: int, trials: int,
               timeout: int | None = None) -> dict:
     timeout = timeout or max(3600, int(n_docs / 1_000_000 * 7200 * trials))
+    # Constant memory PER CORE (2g), not per JVM: on a real cluster every
+    # added executor brings its own heap, so the honest local-mode proxy
+    # for "4 nodes vs 1 node" scales the heap with the core count. A
+    # fixed 8g heap shared by 16 task threads made GC the serial
+    # bottleneck (GCLocker retry warnings all over the hi level) and
+    # understated scaling at 0.47-0.49 in the first two 1M runs.
+    cores = int(master.split("[")[1].rstrip("]"))
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{2 * cores}g")
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, master, str(n_docs), str(n_rep),
          str(trials)],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         timeout=timeout,
     )
