@@ -926,6 +926,43 @@ def q49_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "p")
 
 
+def q50_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a WRITTEN MinHash index (continuous-crawl
+    staple, dedup.write_minhash_index / dedup_against_index): the corpus
+    index is written bucket-partitioned (banding by pmod(band_hash),
+    shingles by pmod(xxhash64(id))), then a new batch — 10 near-copies
+    (97%-truncated, must drop) + 5 fresh md5-text docs (must survive) —
+    probes it: broadcast batch banding, FILE-pruned corpus scans, exact
+    Jaccard on candidates only; corpus text never read. md5 hash family
+    so the DuckDB oracle replays the full corpus-vs-batch pair stage."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where("doc_id < 10").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(length(text) * 0.97 as int))"
+        ).alias("text"),
+    )
+    fresh = d.where("doc_id < 5").select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.md5(F.col("doc_id").cast("string")),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("x"))),
+        ).alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="q50_mh_idx_")
+    try:
+        dedup.write_minhash_index(d, work, hash_family="md5", scheme="kmin")
+        out = dedup.dedup_against_index(near.unionByName(fresh), work)
+    finally:
+        # dedup_against_index localCheckpoints its result, so the index
+        # files are no longer needed once it returns
+        shutil.rmtree(work, ignore_errors=True)
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1033,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_capped_group_sample": q47_capped_group_sample,
         "q48_semantic_dedup": q48_semantic_dedup,
         "q49_grouped_quantiles": q49_grouped_quantiles,
+        "q50_incremental_dedup": q50_incremental_dedup,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1127,13 +1165,17 @@ def _simhash_pairs_sql(width: int = 60, max_hamming: int = 3) -> str:
 
 
 def _minhash_sql_parts(k: int = 64, bands: int = 8, shingle_n: int = 5,
-                       threshold: float = 0.8) -> dict:
+                       threshold: float = 0.8, docs_sql: str | None = None,
+                       pair_cond: str = "a.doc_id < b.doc_id") -> dict:
     """Shared CTE fragments replaying the md5-family MinHash-LSH machinery
-    (used by the q20 and q31 oracles): distinct char-5-gram shingles, the
+    (used by the q20/q31/q50 oracles): distinct char-5-gram shingles, the
     k=64 universal-hash signature over the Mersenne prime (identical
     coefficients via canonicalize._mh_coeffs), band blocking as r-slice
     equality (the Spark side groups on xxhash64(slice) — equal slices,
-    equal hash), and the exact-Jaccard verify."""
+    equal hash), and the exact-Jaccard verify. ``docs_sql`` overrides the
+    corpus (default: the shared salted docs); ``pair_cond`` overrides the
+    pair-side predicate (q50 uses corpus-side < 10^6 <= batch-side
+    instead of the symmetric a < b)."""
     from generative_ner_spark.operators.canonicalize import _MH_P, _mh_coeffs
 
     coeffs = _mh_coeffs(k)
@@ -1155,7 +1197,8 @@ def _minhash_sql_parts(k: int = 64, bands: int = 8, shingle_n: int = 5,
     jac = ("len(list_intersect(a.sh, b.sh)) / "
            "len(list_distinct(a.sh || b.sh))")
     ctes = f"""docs AS (
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM ({_SALTED_DOCS_SQL})
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+            FROM ({docs_sql if docs_sql is not None else _SALTED_DOCS_SQL})
         ),
         m AS (
             SELECT doc_id, sh, {mh} AS mh
@@ -1164,7 +1207,7 @@ def _minhash_sql_parts(k: int = 64, bands: int = 8, shingle_n: int = 5,
         ),
         pairs AS (
             SELECT a.doc_id AS a, b.doc_id AS b, {jac} AS jaccard
-            FROM m a JOIN m b ON a.doc_id < b.doc_id
+            FROM m a JOIN m b ON {pair_cond}
             WHERE ({band_match}) AND {jac} >= {threshold}
         )"""
     return {"ctes": ctes}
@@ -1206,6 +1249,39 @@ def _near_dedup_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
         drop_ids AS (SELECT id FROM comp WHERE id != component)
         SELECT doc_id FROM docs
         WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+        ORDER BY doc_id"""
+
+
+_INCR_DOCS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           substring(text, 1, CAST(trunc(length(text) * 0.97) AS INT)) AS text
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           md5(CAST(doc_id AS VARCHAR)) ||
+           md5(CAST(doc_id AS VARCHAR) || 'x') AS text
+    FROM documents WHERE doc_id < 5
+"""
+
+
+def _incremental_dedup_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
+                           threshold: float = 0.8) -> str:
+    """q50 oracle: incremental dedup replay — the q20 signature/banding/
+    verify machinery over corpus ∪ batch, but with the ASYMMETRIC pair
+    predicate (corpus side id < 10^6 <= batch side id) matching
+    dedup_against_index's corpus-vs-batch contract; survivors are the
+    batch docs with no qualifying corpus partner."""
+    parts = _minhash_sql_parts(
+        k, bands, shingle_n, threshold, docs_sql=_INCR_DOCS_SQL,
+        pair_cond=("CAST(a.doc_id AS BIGINT) < 1000000 "
+                   "AND CAST(b.doc_id AS BIGINT) >= 1000000"))
+    return f"""
+        WITH {parts['ctes']}
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM docs
+        WHERE CAST(doc_id AS BIGINT) >= 1000000
+          AND doc_id NOT IN (SELECT b FROM pairs)
         ORDER BY doc_id"""
 
 
@@ -2033,6 +2109,9 @@ def oracle_sql() -> dict[str, str]:
         "q19_simhash_near_dups": _simhash_pairs_sql(width=60, max_hamming=3),
         "q20_minhash_near_dups": _minhash_pairs_sql(k=64, bands=8,
                                                     shingle_n=5, threshold=0.8),
+        "q50_incremental_dedup": _incremental_dedup_sql(k=64, bands=8,
+                                                        shingle_n=5,
+                                                        threshold=0.8),
         "q29_ivf_topk": """
             -- the planted copies are the ONLY candidates at cosine 1.0
             -- (max random cosine ~0.33 << 1.0) and the probe finds them

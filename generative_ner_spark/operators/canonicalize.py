@@ -199,6 +199,66 @@ def capped_self_join_pairs(
     return pairs
 
 
+def shingle_band_rows(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    hash_family: str = "xxhash64",
+    scheme: str = "kmin",
+) -> tuple:
+    """Shared signature/banding front half of every MinHash consumer
+    (lsh_candidate_pairs here, the written incremental index in
+    dedup.py): returns (shingles_df PERSISTED as (id, shingles), banding
+    rows (id, band, band_hash)). The CALLER owns the shingle cache —
+    unpersist it once its pair set / index write is materialized.
+
+    SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
+    arrays through a self-join shuffles ~|shingles| strings per banded
+    row — the dominant cost at corpus scale; join them back per-id after
+    pair generation instead. band_hash = xxhash64 over the band's slice
+    of the signature — a single transform lambda, so the expression tree
+    is O(1) in (bands, r) (the unrolled per-band concat_ws/element_at
+    tree cost seconds of driver-side Catalyst/janino time per fresh
+    plan).
+    """
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: the banding would "
+            f"silently ignore the last {k - bands * (k // bands)} minhash "
+            f"slots and the effective S-curve would differ from the "
+            f"requested (k, bands) tuning")
+    r = k // bands
+    sh = with_shingles(
+        entities.select(F.col(id_col).alias("id"), F.col(name_col).alias("nm")),
+        "nm", n=n,
+    ).select("id", "shingles")
+    # shingle sets reused on several plan branches (banding + verify
+    # sides) — materialize once
+    sh = sh.persist()
+    if scheme == "oph":
+        # one-permutation hashing: ~k× less aggregation CPU on the
+        # signature stage (see minhash_df_oph); banding/verify unchanged
+        mh = minhash_df_oph(sh, "id", "shingles", k=k,
+                            hash_family=hash_family)
+    elif scheme == "kmin":
+        mh = minhash_df(sh, "id", "shingles", k=k, hash_family=hash_family)
+    else:
+        raise ValueError(f"unknown minhash scheme: {scheme}")
+    banded = mh.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(slice(minhash, b * {r} + 1, {r}), b))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    return sh, banded
+
+
 def lsh_candidate_pairs(
     entities: DataFrame,
     id_col: str = "entity_id",
@@ -238,39 +298,9 @@ def lsh_candidate_pairs(
             f"silently ignore the last {k - bands * (k // bands)} minhash "
             f"slots and the effective S-curve would differ from the "
             f"requested (k, bands) tuning")
-    r = k // bands
-    sh = with_shingles(
-        entities.select(F.col(id_col).alias("id"), F.col(name_col).alias("nm")),
-        "nm", n=n,
-    ).select("id", "shingles")
-    # shingle sets reused on three plan branches (banding + both verify
-    # sides) — materialize once
-    sh = sh.persist()
-    if scheme == "oph":
-        # one-permutation hashing: ~k× less aggregation CPU on the
-        # signature stage (see minhash_df_oph); banding/verify unchanged
-        mh = minhash_df_oph(sh, "id", "shingles", k=k,
-                            hash_family=hash_family)
-    elif scheme == "kmin":
-        mh = minhash_df(sh, "id", "shingles", k=k, hash_family=hash_family)
-    else:
-        raise ValueError(f"unknown minhash scheme: {scheme}")
-    # SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
-    # arrays through the self-join shuffles ~|shingles| strings per banded
-    # row — the dominant cost at corpus scale; join them back per-id after
-    # pair generation instead. band_hash = xxhash64 over the band's slice of
-    # the signature — a single transform lambda, so the expression tree is
-    # O(1) in (bands, r) (the unrolled per-band concat_ws/element_at tree
-    # cost seconds of driver-side Catalyst/janino time per fresh plan).
-    banded = mh.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> xxhash64(slice(minhash, b * {r} + 1, {r}), b))"
-            )
-        ).alias("band", "band_hash"),
-    )
+    sh, banded = shingle_band_rows(entities, id_col, name_col, k=k,
+                                   bands=bands, n=n,
+                                   hash_family=hash_family, scheme=scheme)
     # cap pathological buckets (hot shingle patterns) — bounded pair blowup
     pairs = capped_self_join_pairs(
         banded, ("band", "band_hash"), "id", max_bucket, metrics)

@@ -335,3 +335,188 @@ def ngram_jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: written MinHash index + batch probe
+# ---------------------------------------------------------------------------
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+    scheme: str = "oph",
+    n_buckets: int = 64,
+) -> dict:
+    """Persist the corpus's MinHash banding table + shingle sets for
+    INCREMENTAL dedup (continuous-crawl staple: dedup each new batch
+    against everything already accepted WITHOUT recomputing or even
+    re-reading the historical corpus text).
+
+    Layout under ``path``:
+    - ``banding/`` — (id, band, band_hash) partitioned by ``_bkt`` =
+      pmod(band_hash, n_buckets): a small-batch probe prunes to the
+      buckets its own band hashes touch (FILE-level, like the written
+      LSH/IVF/BM25 indexes); a large batch degrades gracefully to a
+      full scan of the banding table — which is ids+hashes only, a few
+      dozen bytes/doc, never the corpus text.
+    - ``shingles/`` — (id, shingles) partitioned by ``_sbkt`` =
+      pmod(xxhash64(id), n_buckets): read back ONLY for the (few)
+      candidate ids that collide with the batch, pruned by their id
+      buckets.
+    - ``_minhash_manifest.json`` — every signature parameter, so probes
+      can never drift from the index's (k, bands, shingle_n, family,
+      scheme) tuning.
+
+    Returns the manifest dict.
+    """
+    import json
+    import os
+
+    from generative_ner_spark.operators.canonicalize import (
+        shingle_band_rows,
+    )
+
+    sh, banded = shingle_band_rows(
+        df, id_col, text_col, k=k, bands=bands, n=shingle_n,
+        hash_family=hash_family, scheme=scheme,
+    )
+    (banded
+     .withColumn("_bkt", F.pmod(F.col("band_hash"), F.lit(n_buckets)))
+     .write.partitionBy("_bkt").mode("overwrite")
+     .parquet(os.path.join(path, "banding")))
+    (sh
+     .withColumn("_sbkt", F.pmod(F.xxhash64(F.col("id").cast("string")),
+                                 F.lit(n_buckets)))
+     .write.partitionBy("_sbkt").mode("overwrite")
+     .parquet(os.path.join(path, "shingles")))
+    sh.unpersist()
+    manifest = {
+        "id_col": id_col, "text_col": text_col, "k": k, "bands": bands,
+        "shingle_n": shingle_n, "jaccard_threshold": jaccard_threshold,
+        "hash_family": hash_family, "scheme": scheme,
+        "n_buckets": n_buckets,
+    }
+    with open(os.path.join(path, "_minhash_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    metrics: dict | None = None,
+    max_broadcast_batch_rows: int = 100_000,
+) -> DataFrame:
+    """New-batch fuzzy dedup against a written corpus index: returns the
+    rows of ``new_df`` that have NO near-duplicate (banding collision +
+    exact shingle Jaccard >= the index's threshold) in the indexed
+    corpus. Corpus and batch ids must be disjoint. Within-batch dups are
+    deliberately out of scope — compose with ``near_dedup_documents`` on
+    the survivors (corpus-vs-batch and batch-vs-batch are different
+    policies: the former always drops the batch side).
+
+    Scale shape, two regimes by batch size (counted with a cheap
+    ``limit(max+1)`` probe, never an unbounded action — the r4 lesson
+    from the ANN query-collect guards):
+    - batch <= ``max_broadcast_batch_rows`` (the common incremental
+      case): the batch's banding rows and shingles are BROADCAST, so
+      the corpus banding table is scanned map-side once and never
+      shuffles, and the partition filter on ``_bkt`` prunes that scan
+      to the touched bucket directories (FILE-level).
+    - larger batches: the broadcast hints and bucket pruning are
+      dropped (a big batch touches every bucket anyway) and the joins
+      fall back to ordinary shuffles — graceful degradation instead of
+      an executor OOM from a forced oversized broadcast.
+    In both regimes corpus shingles are fetched ONLY for collided
+    candidate ids (pruned by ``_sbkt``), the exact-Jaccard verify runs
+    on candidates (never the cross product), and the corpus TEXT is
+    never read.
+
+    ``metrics`` receives {"n_candidates", "n_dup_new_ids",
+    "broadcast_regime"}.
+    """
+    import json
+    import os
+
+    from generative_ner_spark.operators.canonicalize import (
+        shingle_band_rows,
+    )
+
+    spark = new_df.sparkSession
+    with open(os.path.join(path, "_minhash_manifest.json")) as f:
+        m = json.load(f)
+    n_buckets = m["n_buckets"]
+    sh_new, banded_new = shingle_band_rows(
+        new_df, id_col, text_col, k=m["k"], bands=m["bands"],
+        n=m["shingle_n"], hash_family=m["hash_family"], scheme=m["scheme"],
+    )
+    banded_new = banded_new.withColumn(
+        "_bkt", F.pmod(F.col("band_hash"), F.lit(n_buckets))).persist()
+    small = (
+        new_df.select(id_col).limit(max_broadcast_batch_rows + 1).count()
+        <= max_broadcast_batch_rows
+    )
+    if metrics is not None:
+        metrics["broadcast_regime"] = small
+    corpus_banding = spark.read.parquet(os.path.join(path, "banding"))
+    new_slim = banded_new.select(
+        F.col("id").alias("b"), "band", "band_hash", "_bkt")
+    if small:
+        # distinct buckets the batch touches: <= n_buckets values,
+        # driver-safe collect; partition filter -> FILE pruning
+        bkts = [r["_bkt"]
+                for r in banded_new.select("_bkt").distinct().collect()]
+        corpus_banding = corpus_banding.where(F.col("_bkt").isin(bkts))
+        new_slim = F.broadcast(new_slim)
+    cand = (
+        corpus_banding.join(new_slim, ["band", "band_hash", "_bkt"])
+        .select(F.col("id").alias("a"), "b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()  # materialize: feeds bucket listing + verify
+    )
+    if metrics is not None:
+        metrics["n_candidates"] = cand.count()
+    # candidate CORPUS ids -> their shingle buckets (driver-sized: one
+    # int per bucket, <= n_buckets) -> pruned shingle fetch
+    sbkts = [
+        r["_sb"]
+        for r in cand.select(
+            F.pmod(F.xxhash64(F.col("a").cast("string")),
+                   F.lit(n_buckets)).alias("_sb")).distinct().collect()
+    ]
+    corpus_sh = (
+        spark.read.parquet(os.path.join(path, "shingles"))
+        .where(F.col("_sbkt").isin(sbkts))
+        .select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
+    )
+    sh_new_slim = sh_new.select(F.col("id").alias("b"),
+                                F.col("shingles").alias("sh_b"))
+    if small:
+        sh_new_slim = F.broadcast(sh_new_slim)
+    dup_new = (
+        cand.join(corpus_sh, "a")
+        .join(sh_new_slim, "b")
+        .where(
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b")))
+            >= F.lit(m["jaccard_threshold"]))
+        .select(F.col("b").alias(id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    if metrics is not None:
+        metrics["n_dup_new_ids"] = dup_new.count()
+    out = new_df.join(dup_new, id_col, "left_anti")
+    out = out.localCheckpoint()  # pin before releasing the caches
+    banded_new.unpersist()
+    sh_new.unpersist()
+    return out

@@ -3007,3 +3007,125 @@ class TestAsofJoin:
             tolerance_seconds=600).collect()}
         assert out[1].rid_r == 11    # 0 s old: kept
         assert out[2].rid_r is None  # 30 min old > 10 min tolerance
+
+
+class TestIncrementalDedupIndex:
+    """write_minhash_index + dedup_against_index (dedup.py): the
+    continuous-crawl incremental fuzzy-dedup pair — the corpus banding
+    table + shingle sets are written ONCE (bucket-partitioned), then each
+    new batch probes them without recomputing or re-reading corpus text.
+    Backed by the q50 driver oracle (md5/kmin family); these tests run
+    the production xxhash64/oph defaults."""
+
+    def _corpus(self, spark, n=40):
+        import hashlib
+
+        rows = [
+            (i, " ".join(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8]
+                         for j in range(30)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drops_near_dups_keeps_fresh(self, spark, tmp_path):
+        corpus = self._corpus(spark)
+        p = str(tmp_path / "mh")
+        m = dedup.write_minhash_index(corpus, p, n_buckets=16)
+        assert m["scheme"] == "oph" and m["n_buckets"] == 16
+        near = corpus.where("doc_id < 3").select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+        fresh = self._corpus(spark, n=2).select(
+            (F.col("doc_id") + 200).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"))
+        metrics = {}
+        kept = {r.doc_id for r in dedup.dedup_against_index(
+            near.unionByName(fresh), p, metrics=metrics).collect()}
+        assert kept == {200, 201}
+        assert metrics["broadcast_regime"] is True
+        assert metrics["n_dup_new_ids"] == 3
+        assert metrics["n_candidates"] >= 3
+
+    def test_corpus_vs_batch_only_and_empty_candidates(self, spark,
+                                                       tmp_path):
+        """Identical twins WITHIN the batch both survive (within-batch
+        policy belongs to near_dedup_documents, not the index probe), and
+        a zero-candidate probe exercises the empty isin()/join path."""
+        import hashlib
+
+        corpus = self._corpus(spark, n=10)
+        p = str(tmp_path / "mh2")
+        dedup.write_minhash_index(corpus, p, n_buckets=8)
+        twin = " ".join(hashlib.md5(f"f{j}".encode()).hexdigest()[:8]
+                        for j in range(30))
+        batch = spark.createDataFrame(
+            [(500, twin), (501, twin)], "doc_id long, text string")
+        metrics = {}
+        kept = {r.doc_id for r in dedup.dedup_against_index(
+            batch, p, metrics=metrics).collect()}
+        assert kept == {500, 501}
+        assert metrics["n_candidates"] == 0
+        assert metrics["n_dup_new_ids"] == 0
+
+    def test_banding_scan_is_bucket_pruned(self, spark, tmp_path):
+        """FILE-level pruning evidence for the small-batch regime: the
+        probed banding scan touches only the batch's _bkt directories —
+        strictly fewer files than the whole index (a 1-doc batch hits at
+        most `bands` buckets)."""
+        import glob
+        import json
+        import os
+
+        from generative_ner_spark.operators.canonicalize import (
+            shingle_band_rows,
+        )
+
+        corpus = self._corpus(spark, n=60)
+        p = str(tmp_path / "mh3")
+        dedup.write_minhash_index(corpus, p, n_buckets=32)
+        all_files = set(glob.glob(p + "/banding/_bkt=*/*.parquet"))
+        batch = corpus.where("doc_id = 0").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text")
+        with open(os.path.join(p, "_minhash_manifest.json")) as f:
+            m = json.load(f)
+        sh, banded = shingle_band_rows(
+            batch, "doc_id", "text", k=m["k"], bands=m["bands"],
+            n=m["shingle_n"], hash_family=m["hash_family"],
+            scheme=m["scheme"])
+        bkts = [r[0] for r in banded.select(
+            F.pmod(F.col("band_hash"), F.lit(32)).alias("b"))
+            .distinct().collect()]
+        sh.unpersist()
+        assert len(bkts) <= m["bands"]
+        read_files = {
+            r[0] for r in spark.read.parquet(p + "/banding")
+            .where(F.col("_bkt").isin(bkts))
+            .select(F.input_file_name()).distinct().collect()
+        }
+        assert 0 < len(read_files) < len(all_files)
+        assert all(any(f"_bkt={b}/" in f for b in bkts)
+                   for f in read_files)
+
+    def test_large_batch_regime_matches_small(self, spark, tmp_path):
+        """Past max_broadcast_batch_rows the broadcast hints and bucket
+        pruning are dropped (graceful shuffle fallback) — results must be
+        IDENTICAL to the small regime."""
+        corpus = self._corpus(spark, n=20)
+        p = str(tmp_path / "mh4")
+        dedup.write_minhash_index(corpus, p, n_buckets=8)
+        near = corpus.where("doc_id < 4").select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" t")).alias("text"))
+        fresh = self._corpus(spark, n=1).select(
+            F.lit(300).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"))
+        batch = near.unionByName(fresh)
+        m_small, m_big = {}, {}
+        small = {r.doc_id for r in dedup.dedup_against_index(
+            batch, p, metrics=m_small).collect()}
+        big = {r.doc_id for r in dedup.dedup_against_index(
+            batch, p, metrics=m_big,
+            max_broadcast_batch_rows=2).collect()}
+        assert m_small["broadcast_regime"] is True
+        assert m_big["broadcast_regime"] is False
+        assert small == big == {300}
