@@ -60,6 +60,7 @@ HEADLINE = [
     "q47_capped_group_sample",
     "q48_semantic_dedup",
     "q49_grouped_quantiles",
+    "q50_incremental_dedup",
     "kg_mention_counts",
     "kg_triples",
 ]

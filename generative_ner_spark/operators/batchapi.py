@@ -294,7 +294,9 @@ def flatten_result_line(rec: dict) -> dict:
     generated_text (the downstream null-generation guard owns it)."""
     body = (rec.get("response") or {}).get("body") or {}
     choices = body.get("choices") or []
-    text = (choices[0].get("message", {}).get("content")
+    # (... or {}): an explicit ``"message": null`` (content-filtered
+    # responses) must flatten to NULL too, not AttributeError on None
+    text = ((choices[0].get("message") or {}).get("content")
             if choices else None)
     return {"custom_id": rec["custom_id"], "generated_text": text}
 

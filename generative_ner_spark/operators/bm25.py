@@ -44,6 +44,40 @@ def doc_lengths(tf: DataFrame) -> DataFrame:
     return tf.groupBy("id").agg(F.sum("tf").alias("dl"))
 
 
+def _score_hits(hits: DataFrame, n, avgdl, id_col: str,
+                k1: float, b: float) -> DataFrame:
+    """Shared BM25 scoring tail: hits rows carrying (id, term, tf, dl,
+    df) -> (id_col, n_terms_hit, score). ``n``/``avgdl`` are Columns
+    (corpus-constants broadcast row) or literals (written-index
+    manifest). ONE home for the idf/contrib/agg block, so bm25_search
+    and probe_bm25_index can never drift apart (their score parity is
+    pinned by test)."""
+    idf = F.log(1.0 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = F.round(
+        idf * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        6,
+    )
+    return (
+        hits.withColumn("_s", contrib)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_terms_hit"),
+             F.round(F.sum("_s"), 6).alias("score"))
+        .select(F.col("id").alias(id_col), "n_terms_hit", "score")
+    )
+
+
+def _topk_ranked(scored: DataFrame, id_col: str, top_k: int) -> DataFrame:
+    """Shared top-k tail: ties break on id asc (total order, reproducible
+    cross-engine); orderBy+limit plans as TakeOrderedAndProject, and the
+    rank window runs AFTER the limit — its SinglePartition input is
+    top_k rows, not the corpus."""
+    top = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -71,24 +105,13 @@ def bm25_scores(
         tf.select(F.coalesce(F.sum("tf"), F.lit(0)).alias("_tok")))
     hits = tf.where(F.col("term").isin(terms))  # literal pushdown filter
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
-    avgdl = F.col("_tok") / F.col("_n")
-    idf = F.log(1.0 + (F.col("_n") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    contrib = F.round(
-        idf * F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
-        6,
-    )
-    return (
+    joined = (
         hits.join(F.broadcast(dfreq), "term")
         .join(dl, "id")
         .crossJoin(F.broadcast(meta))
-        .withColumn("_s", contrib)
-        .groupBy("id")
-        .agg(F.count("*").alias("n_terms_hit"),
-             F.round(F.sum("_s"), 6).alias("score"))
-        .select(F.col("id").alias(id_col), "n_terms_hit", "score")
     )
+    return _score_hits(joined, F.col("_n"),
+                       F.col("_tok") / F.col("_n"), id_col, k1, b)
 
 
 def bm25_search(
@@ -104,12 +127,7 @@ def bm25_search(
     score, rank). Ties break on id asc (total order, reproducible
     cross-engine); orderBy+limit plans as TakeOrderedAndProject."""
     scored = bm25_scores(df, query_terms, id_col, text_col, k1, b)
-    top = scored.orderBy(
-        F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
-    # the rank window runs AFTER the limit — its SinglePartition input is
-    # top_k rows, not the corpus
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return top.withColumn("rank", F.row_number().over(w))
+    return _topk_ranked(scored, id_col, top_k)
 
 
 # --------------------------------------------------------------------------
@@ -150,13 +168,18 @@ def write_bm25_index(df: DataFrame, path: str, id_col: str = "doc_id",
     import json
     import os
 
-    tf = term_frequencies(df, id_col, text_col)
+    # tf feeds THREE consumers (the manifest scalars, doc_lengths, and
+    # the postings write) across TWO actions — persist it or the
+    # tokenize+shuffle aggregation re-runs per action (a full duplicate
+    # corpus pass at the scale this index exists for)
+    tf = term_frequencies(df, id_col, text_col).persist()
     dl = doc_lengths(tf)
     meta = df.select(F.count("*")).crossJoin(
         tf.select(F.coalesce(F.sum("tf"), F.lit(0)))).first()
     postings = tf.join(dl, "id").withColumn(
         "_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     postings.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+    tf.unpersist()
     manifest = {"n_docs": int(meta[0]), "total_tokens": int(meta[1]),
                 "n_buckets": n_buckets, "id_col": id_col}
     with open(os.path.join(path, _MANIFEST), "w") as f:
@@ -202,24 +225,10 @@ def probe_bm25_index(
     hits = windex.df.where(
         F.col("_bucket").isin(buckets) & F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
-    avgdl = windex.total_tokens / windex.n_docs
-    n = windex.n_docs
-    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = F.round(
-        idf * F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
-        6,
-    )
     id_col = windex.id_col
-    scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .withColumn("_s", contrib)
-        .groupBy("id")
-        .agg(F.count("*").alias("n_terms_hit"),
-             F.round(F.sum("_s"), 6).alias("score"))
-        .select(F.col("id").alias(id_col), "n_terms_hit", "score")
-    )
-    top = scored.orderBy(
-        F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return top.withColumn("rank", F.row_number().over(w))
+    scored = _score_hits(
+        hits.join(F.broadcast(dfreq), "term"),
+        F.lit(windex.n_docs),
+        F.lit(windex.total_tokens / windex.n_docs),
+        id_col, k1, b)
+    return _topk_ranked(scored, id_col, top_k)

@@ -44,22 +44,12 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .canonicalize import capped_self_join_pairs
+from .quality import _md5_rank
 from .similarity import cosine_col
-
-
-def _hash_rank(col: Column, salt: str = "kmeans") -> Column:
-    """Deterministic 60-bit rank: md5-prefix of salt:id as a long (the
-    quality.py sampling family's hash, sans the modulus)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 15
-        ),
-        16, 10,
-    ).cast("long")
 
 
 def _normalize_udf(dim: int):
@@ -75,10 +65,14 @@ def _normalize_udf(dim: int):
     return norm_udf
 
 
-def _assign_udf(centroids: np.ndarray):
+def _assign_udf(centroids: np.ndarray, normalize: bool = False):
     """argmax-dot cell assignment; ``centroids`` (k x dim, rows unit
     norm) rides into the Arrow closure — kilobytes, re-shipped per
-    iteration, never a join."""
+    iteration, never a join. ``normalize`` folds the input L2-normalize
+    into the SAME udf (argmax dot is scale-invariant so it changes
+    nothing mathematically, but chaining a separate normalize udf would
+    plan two daisy-chained CPU-bound python stages per task — the
+    CLAUDE.md 2x-oversubscription gotcha)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -86,6 +80,10 @@ def _assign_udf(centroids: np.ndarray):
     @pandas_udf("int")
     def cell_udf(vecs: pd.Series) -> pd.Series:
         M = np.asarray(list(vecs), dtype=np.float64).reshape(-1, C.shape[1])
+        if normalize:
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            M = M / n
         return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
 
     return cell_udf
@@ -97,10 +95,13 @@ class KMeansModel:
     vec_col: str
 
     def assign(self, df: DataFrame, out_col: str = "_cell") -> DataFrame:
-        """One narrow Arrow pass; nothing shuffles."""
-        dim = self.centroids.shape[1]
-        normed = _normalize_udf(dim)(F.col(self.vec_col))
-        return df.withColumn(out_col, _assign_udf(self.centroids)(normed))
+        """ONE narrow fused Arrow pass (normalize + argmax in a single
+        udf); nothing shuffles."""
+        return df.withColumn(
+            out_col,
+            _assign_udf(self.centroids, normalize=True)(
+                F.col(self.vec_col)),
+        )
 
 
 def kmeans_fit(
@@ -121,7 +122,7 @@ def kmeans_fit(
         _normalize_udf(dim)(F.col(vec_col)).alias("_v"),
     ).persist()
     seed_rows = (
-        normed.orderBy(_hash_rank(F.col("_id"), salt), F.col("_id"))
+        normed.orderBy(_md5_rank(F.col("_id"), salt), F.col("_id"))
         .limit(k).collect()
     )
     if not seed_rows:

@@ -19,7 +19,7 @@ Embedding-cosine near-dup lives in similarity.py (same LSH-bucket shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from generative_ner_spark.operators.canonicalize import (
@@ -353,11 +353,23 @@ def write_minhash_index(
     hash_family: str = "xxhash64",
     scheme: str = "oph",
     n_buckets: int = 64,
+    max_bucket: int = 256,
 ) -> dict:
     """Persist the corpus's MinHash banding table + shingle sets for
     INCREMENTAL dedup (continuous-crawl staple: dedup each new batch
     against everything already accepted WITHOUT recomputing or even
     re-reading the historical corpus text).
+
+    ``max_bucket`` caps each (band, band_hash) posting list at write
+    time — the same hot-bucket guard every other banding family carries
+    (shared-boilerplate corpora can put millions of docs in one bucket;
+    an uncapped probe colliding with it would materialize millions of
+    candidates per batch row). Capping at WRITE keeps every probe
+    map-side; the recall cost (hot-bucket members beyond the cap can't
+    be matched through that bucket) is recorded in the manifest as
+    ``n_capped_rows`` (rows = posting entries, not docs — a doc capped
+    in one band usually survives in another). ``max_bucket=None``
+    disables the cap.
 
     Layout under ``path``:
     - ``banding/`` — (id, band, band_hash) partitioned by ``_bkt`` =
@@ -383,25 +395,43 @@ def write_minhash_index(
         shingle_band_rows,
     )
 
+    spark = df.sparkSession
     sh, banded = shingle_band_rows(
         df, id_col, text_col, k=k, bands=bands, n=shingle_n,
         hash_family=hash_family, scheme=scheme,
     )
+    if max_bucket is not None:
+        # deterministic keep set (smallest ids); one slim window shuffle
+        # at build time buys map-side probes forever
+        w = Window.partitionBy("band", "band_hash").orderBy("id")
+        banded = (banded
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= max_bucket).drop("_rn"))
+    banding_path = os.path.join(path, "banding")
     (banded
      .withColumn("_bkt", F.pmod(F.col("band_hash"), F.lit(n_buckets)))
      .write.partitionBy("_bkt").mode("overwrite")
-     .parquet(os.path.join(path, "banding")))
+     .parquet(banding_path))
     (sh
      .withColumn("_sbkt", F.pmod(F.xxhash64(F.col("id").cast("string")),
                                  F.lit(n_buckets)))
      .write.partitionBy("_sbkt").mode("overwrite")
      .parquet(os.path.join(path, "shingles")))
     sh.unpersist()
+    n_capped = 0
+    if max_bucket is not None:
+        # both counts are parquet-metadata reads over the just-written
+        # index (no data scan): shingles has one row per doc, so the
+        # uncapped banding total is n_docs * bands
+        written = spark.read.parquet(banding_path).count()
+        n_docs = spark.read.parquet(os.path.join(path, "shingles")).count()
+        n_capped = n_docs * bands - written
     manifest = {
         "id_col": id_col, "text_col": text_col, "k": k, "bands": bands,
         "shingle_n": shingle_n, "jaccard_threshold": jaccard_threshold,
         "hash_family": hash_family, "scheme": scheme,
-        "n_buckets": n_buckets,
+        "n_buckets": n_buckets, "max_bucket": max_bucket,
+        "n_capped_rows": int(n_capped),
     }
     with open(os.path.join(path, "_minhash_manifest.json"), "w") as f:
         json.dump(manifest, f)

@@ -430,13 +430,16 @@ def capped_group_sample(
     )
 
 
-def _md5_rank(key_col: str, salt: str) -> Column:
+def _md5_rank(key_col: str | Column, salt: str) -> Column:
     """Full 60-bit md5-prefix rank (the sampling family's hash without
     the modulus) — cross-engine: DuckDB replays it as
-    CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)."""
+    CAST('0x' || substring(md5(...), 1, 15) AS BIGINT). The ONE home of
+    this expression — cluster.py's k-means seeding imports it too, so
+    the pinned DuckDB replay can never drift per consumer."""
+    col = key_col if isinstance(key_col, Column) else F.col(key_col)
     return F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+            F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))),
             1, 15,
         ),
         16, 10,

@@ -51,6 +51,12 @@ def asof_join(
                      if c not in keys and c != right_ts])
     seq = (F.col(right_seq_col).cast("long") if right_seq_col
            else F.lit(0).cast("long"))
+    # a NULL right timestamp can never be "at or before" anything — but
+    # NULLS sort FIRST in the ascending window, so an unfiltered NULL-ts
+    # right row would sit at the frame start and its payload would match
+    # EVERY left row in the key group (DuckDB's native ASOF, the q46
+    # oracle, never matches NULL ts either)
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ats"),

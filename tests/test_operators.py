@@ -2799,7 +2799,12 @@ class TestOpenAIAdapterTranslations:
         # errored / empty responses flatten to NULL, not a crash
         for bad in ({"custom_id": "t", "response": None},
                     {"custom_id": "t"},
-                    {"custom_id": "t", "response": {"body": {"choices": []}}}):
+                    {"custom_id": "t", "response": {"body": {"choices": []}}},
+                    # explicit "message": null (content-filtered): NULL,
+                    # not AttributeError on None
+                    {"custom_id": "t", "response": {"body": {"choices": [
+                        {"message": None,
+                         "finish_reason": "content_filter"}]}}}):
             assert batchapi.flatten_result_line(bad) == {
                 "custom_id": "t", "generated_text": None}
 
@@ -3008,6 +3013,26 @@ class TestAsofJoin:
         assert out[1].rid_r == 11    # 0 s old: kept
         assert out[2].rid_r is None  # 30 min old > 10 min tolerance
 
+    def test_null_right_ts_never_matches(self, spark):
+        """A right row with a NULL timestamp is not 'at or before'
+        anything — it must NOT become the frame-start match for every
+        left row (NULLs sort first in the ascending window)."""
+        from datetime import datetime as dt
+
+        from generative_ner_spark.operators import temporal
+
+        left = spark.createDataFrame(
+            [(1, 5, dt(2024, 1, 1, 12, 0, 0)),
+             (2, 5, dt(2024, 1, 1, 13, 0, 0))],
+            "lid long, k long, ts timestamp")
+        right = spark.createDataFrame(
+            [(5, None, 99), (5, dt(2024, 1, 1, 12, 30, 0), 7)],
+            "k long, ts timestamp, v long")
+        out = {r.lid: r for r in temporal.asof_join(
+            left, right, ["k"]).collect()}
+        assert out[1].v_r is None and out[1].ts_r is None
+        assert out[2].v_r == 7
+
 
 class TestIncrementalDedupIndex:
     """write_minhash_index + dedup_against_index (dedup.py): the
@@ -3129,3 +3154,55 @@ class TestIncrementalDedupIndex:
         assert m_small["broadcast_regime"] is True
         assert m_big["broadcast_regime"] is False
         assert small == big == {300}
+
+    def test_write_cap_bounds_hot_buckets(self, spark, tmp_path):
+        """A boilerplate corpus (many identical texts -> one signature ->
+        every band is one hot bucket) is capped at WRITE time: the
+        manifest reports the dropped posting rows, probes stay bounded,
+        and a batch near-dup of a KEPT member (smallest ids survive the
+        cap) still drops."""
+        import hashlib
+
+        boiler = " ".join(hashlib.md5(f"b{j}".encode()).hexdigest()[:8]
+                          for j in range(30))
+        corpus = spark.createDataFrame(
+            [(i, boiler) for i in range(50)], "doc_id long, text string")
+        p = str(tmp_path / "mh_hot")
+        m = dedup.write_minhash_index(corpus, p, n_buckets=8, max_bucket=8)
+        # 50 identical docs x 8 bands, 8 kept per (band, band_hash)
+        assert m["max_bucket"] == 8
+        assert m["n_capped_rows"] == (50 - 8) * 8
+        batch = spark.createDataFrame(
+            [(900, boiler + " x")], "doc_id long, text string")
+        kept = {r.doc_id for r in
+                dedup.dedup_against_index(batch, p).collect()}
+        assert kept == set()  # matched through the capped bucket's keeps
+
+    def test_write_cap_disabled(self, spark, tmp_path):
+        corpus = self._corpus(spark, n=12)
+        p = str(tmp_path / "mh_nocap")
+        m = dedup.write_minhash_index(corpus, p, n_buckets=8,
+                                      max_bucket=None)
+        assert m["max_bucket"] is None and m["n_capped_rows"] == 0
+
+
+class TestClusterAssignPlan:
+    def test_assign_is_one_fused_arrow_stage(self, spark):
+        """KMeansModel.assign must plan exactly ONE python/Arrow eval
+        stage (normalize fused into the argmax udf) — two daisy-chained
+        CPU-bound python stages in one task oversubscribe workers 2x
+        (CLAUDE.md gotcha)."""
+        import numpy as np
+
+        from generative_ner_spark.operators import cluster
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id long, embedding array<double>")
+        model = cluster.KMeansModel(
+            centroids=np.asarray([[1.0, 0.0], [0.0, 1.0]]),
+            vec_col="embedding")
+        out = model.assign(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert out.where("_cell not in (0, 1)").count() == 0
