@@ -963,6 +963,24 @@ def q50_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q51_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling (quality.token_budget_sample):
+    per source, keep docs in md5-rank order until the source's token
+    budget is exhausted (src0 800 / src1 400 / src2 2000 tokens, every
+    other source the 600-token default). Spark runs the distributed
+    prefix-sum (rank-segment subtotals + offsets broadcast, ONE data
+    shuffle on (source, segment)); the oracle replays the semantics as a
+    plain per-source window cumsum over the same md5 rank."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        quality.token_count_col("text").alias("n_tok"))
+    return quality.token_budget_sample(
+        d, {"src0": 800, "src1": 400, "src2": 2000},
+        group_col="source", weight_col="n_tok", key_col="doc_id",
+        default_budget=600,
+    ).orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1071,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_semantic_dedup": q48_semantic_dedup,
         "q49_grouped_quantiles": q49_grouped_quantiles,
         "q50_incremental_dedup": q50_incremental_dedup,
+        "q51_token_budget_mixture": q51_token_budget_mixture,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -2112,6 +2131,29 @@ def oracle_sql() -> dict[str, str]:
         "q50_incremental_dedup": _incremental_dedup_sql(k=64, bands=8,
                                                         shingle_n=5,
                                                         threshold=0.8),
+        # q51: the mixture semantics as ONE plain window cumsum per
+        # source over the same md5 rank (the Spark side's segmented
+        # prefix sum is mathematically invisible)
+        "q51_token_budget_mixture": f"""
+            WITH t AS (
+                SELECT doc_id, source, {_WS_TOKENS_SQL} AS n_tok,
+                       CAST('0x' || substring(md5('budget:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           AS rk
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tok,
+                       SUM(n_tok) OVER (PARTITION BY source
+                                        ORDER BY rk, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT doc_id, source, n_tok FROM c
+            WHERE cum <= CASE source WHEN 'src0' THEN 800
+                                     WHEN 'src1' THEN 400
+                                     WHEN 'src2' THEN 2000
+                                     ELSE 600 END
+            ORDER BY doc_id""",
         "q29_ivf_topk": """
             -- the planted copies are the ONLY candidates at cosine 1.0
             -- (max random cosine ~0.33 << 1.0) and the probe finds them

@@ -61,6 +61,7 @@ HEADLINE = [
     "q48_semantic_dedup",
     "q49_grouped_quantiles",
     "q50_incremental_dedup",
+    "q51_token_budget_mixture",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -438,6 +438,50 @@ def write_minhash_index(
     return manifest
 
 
+def append_to_minhash_index(
+    new_df: DataFrame,
+    path: str,
+) -> None:
+    """Add a batch's banding rows + shingle sets to a written MinHash
+    index (same bucket-partitioned layout, ``mode=append``) — the
+    continuous-crawl loop: dedup a batch against the index, ACCEPT the
+    survivors, append them so the NEXT batch dedups against corpus +
+    all previously accepted batches, never recomputing history.
+
+    Signature parameters come from the manifest (a probe or append can
+    never drift from the index tuning). Appended ids must be disjoint
+    from everything already indexed (the dedup_against_index contract
+    upholds this when you append its survivors). The write-time
+    ``max_bucket`` cap is NOT re-applied across old+new postings — a
+    bucket can exceed the cap by the appended rows; rebuild the index
+    (write_minhash_index) when accumulated appends warrant re-capping.
+    """
+    import json
+    import os
+
+    from generative_ner_spark.operators.canonicalize import (
+        shingle_band_rows,
+    )
+
+    with open(os.path.join(path, "_minhash_manifest.json")) as f:
+        m = json.load(f)
+    sh, banded = shingle_band_rows(
+        new_df, m["id_col"], m["text_col"], k=m["k"], bands=m["bands"],
+        n=m["shingle_n"], hash_family=m["hash_family"], scheme=m["scheme"],
+    )
+    n_buckets = m["n_buckets"]
+    (banded
+     .withColumn("_bkt", F.pmod(F.col("band_hash"), F.lit(n_buckets)))
+     .write.partitionBy("_bkt").mode("append")
+     .parquet(os.path.join(path, "banding")))
+    (sh
+     .withColumn("_sbkt", F.pmod(F.xxhash64(F.col("id").cast("string")),
+                                 F.lit(n_buckets)))
+     .write.partitionBy("_sbkt").mode("append")
+     .parquet(os.path.join(path, "shingles")))
+    sh.unpersist()
+
+
 def dedup_against_index(
     new_df: DataFrame,
     path: str,

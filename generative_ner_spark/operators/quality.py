@@ -430,6 +430,86 @@ def capped_group_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+    n_segments: int = 64,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: per ``group_col`` (source/
+    domain/language), keep rows in md5-rank order until the group's
+    token budget is exhausted — THE mixture-construction op for LLM
+    training ("x tokens of web, y of code, z of books").
+
+    A row survives iff its group's cumulative ``weight_col`` over the
+    (md5(salt:key), key) order, INCLUSIVE of the row, is <= the group's
+    budget (so a budget below the first row's weight keeps nothing).
+    Groups absent from ``budgets`` fall back to ``default_budget``;
+    None drops them (sources outside the mixture spec contribute zero).
+    Pure hash order — no RNG, reproducible on any cluster size, and a
+    budget INCREASE only ever adds rows (the kept set is a prefix).
+
+    Scale shape — the naive encoding (one window per group) puts a hot
+    group (one source = half the corpus) on ONE reducer for a full
+    prefix sum. Distributed prefix-sum instead:
+
+    1. segment the 60-bit rank space into ``n_segments`` contiguous
+       ranges (uniform hash => balanced segments);
+    2. per-(group, segment) subtotals: a map-side-combined agg, output
+       |groups| x n_segments rows;
+    3. running offsets over that TINY frame (window over segments);
+    4. offsets broadcast back; the full data shuffles ONCE on
+       (group, segment) — worst reducer = |hottest group|/n_segments —
+       and the within-segment cumsum + offset is the exact global
+       per-group prefix sum.
+
+    The budget lookup is an O(1) map literal (element_at), not a
+    chained CASE — the Catalyst-tree gotcha with thousands of groups.
+    Output = input columns. DuckDB replays the semantics as one plain
+    window cumsum (q51).
+    """
+    from pyspark.sql import Window
+
+    rank = _md5_rank(key_col, salt)
+    seg_w = (1 << 60) // n_segments + 1
+    staged = (
+        df.withColumn("_rk", rank)
+        # integer DIV: a double-rounded division near 2^60 could
+        # mis-segment a row and corrupt the prefix sum
+        .withColumn("_seg", F.expr(f"CAST(_rk DIV {seg_w} AS INT)"))
+        .withColumn("_w", F.coalesce(F.col(weight_col).cast("long"),
+                                     F.lit(0)))
+    )
+    subtotal = staged.groupBy(group_col, "_seg").agg(
+        F.sum("_w").alias("_sw"))
+    woff = (Window.partitionBy(group_col).orderBy("_seg")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = subtotal.select(
+        group_col, "_seg",
+        F.coalesce(F.sum("_sw").over(woff), F.lit(0)).alias("_off"))
+    wseg = (Window.partitionBy(group_col, "_seg")
+            .orderBy("_rk", key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (
+        staged.join(F.broadcast(offsets), [group_col, "_seg"])
+        .withColumn("_cum", F.col("_off") + F.sum("_w").over(wseg))
+    )
+    if budgets:
+        pairs = [x for kv in sorted(budgets.items())
+                 for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+        b = F.element_at(F.create_map(*pairs), F.col(group_col))
+    else:
+        b = F.lit(None).cast("long")
+    if default_budget is not None:
+        b = F.coalesce(b, F.lit(int(default_budget)))
+    return (cum.where(F.col("_cum") <= b)
+            .drop("_rk", "_seg", "_w", "_sw", "_off", "_cum"))
+
+
 def _md5_rank(key_col: str | Column, salt: str) -> Column:
     """Full 60-bit md5-prefix rank (the sampling family's hash without
     the modulus) — cross-engine: DuckDB replays it as

@@ -3178,6 +3178,31 @@ class TestIncrementalDedupIndex:
                 dedup.dedup_against_index(batch, p).collect()}
         assert kept == set()  # matched through the capped bucket's keeps
 
+    def test_append_then_next_batch_dedups_against_it(self, spark,
+                                                      tmp_path):
+        """The continuous-crawl loop: batch1's survivors are APPENDED to
+        the index, so batch2 near-copies of batch1 docs drop — without
+        recomputing or re-reading corpus or batch1 history."""
+        corpus = self._corpus(spark, n=15)
+        p = str(tmp_path / "mh_app")
+        dedup.write_minhash_index(corpus, p, n_buckets=8)
+        b1 = self._corpus(spark, n=3).select(
+            (F.col("doc_id") + 400).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"))
+        s1 = dedup.dedup_against_index(b1, p)
+        assert s1.count() == 3  # all fresh
+        dedup.append_to_minhash_index(s1, p)
+        # batch2: near-copy of an appended batch1 doc + one fresh doc
+        b2 = b1.where("doc_id = 401").select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" t")).alias("text"))
+        fresh = spark.createDataFrame(
+            [(700, " ".join(f"zq{j}zz" for j in range(30)))],
+            "doc_id long, text string")
+        kept = {r.doc_id for r in dedup.dedup_against_index(
+            b2.unionByName(fresh), p).collect()}
+        assert kept == {700}
+
     def test_write_cap_disabled(self, spark, tmp_path):
         corpus = self._corpus(spark, n=12)
         p = str(tmp_path / "mh_nocap")
@@ -3206,3 +3231,97 @@ class TestClusterAssignPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") == 1
         assert out.where("_cell not in (0, 1)").count() == 0
+
+
+class TestTokenBudgetSample:
+    """quality.token_budget_sample: deterministic per-group token-budget
+    mixture sampling via distributed prefix sums (q51 oracle family)."""
+
+    def _df(self, spark):
+        import hashlib
+
+        rows = []
+        for i in range(60):
+            g = f"g{i % 3}"
+            rows.append((i, g, 10 + (i * 7) % 25))
+        return (spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"), rows)
+
+    @staticmethod
+    def _expected(rows, budgets, default):
+        import hashlib
+
+        def rk(i):
+            return int(hashlib.md5(f"budget:{i}".encode())
+                       .hexdigest()[:15], 16)
+
+        kept = set()
+        groups = {g for _, g, _ in rows}
+        for g in groups:
+            b = budgets.get(g, default)
+            if b is None:
+                continue
+            cum = 0
+            for i, _, w in sorted(((i, gg, w) for i, gg, w in rows
+                                   if gg == g),
+                                  key=lambda r: (rk(r[0]), r[0])):
+                cum += w
+                if cum <= b:
+                    kept.add(i)
+                else:
+                    break
+        return kept
+
+    def test_matches_pure_python_replay(self, spark):
+        from generative_ner_spark.operators import quality
+
+        df, rows = self._df(spark)
+        budgets = {"g0": 120, "g1": 55}
+        out = {r.doc_id for r in quality.token_budget_sample(
+            df, budgets, default_budget=200).collect()}
+        assert out == self._expected(rows, budgets, 200)
+        assert out  # non-degenerate
+
+    def test_budget_increase_is_prefix_monotone(self, spark):
+        from generative_ner_spark.operators import quality
+
+        df, _ = self._df(spark)
+        small = {r.doc_id for r in quality.token_budget_sample(
+            df, {"g0": 60}, default_budget=None).collect()}
+        big = {r.doc_id for r in quality.token_budget_sample(
+            df, {"g0": 300}, default_budget=None).collect()}
+        assert small < big  # strictly grows, never swaps members
+
+    def test_segment_count_invariant(self, spark):
+        """The rank-segmented prefix sum is mathematically invisible:
+        1, 7, and 64 segments produce the identical kept set."""
+        from generative_ner_spark.operators import quality
+
+        df, rows = self._df(spark)
+        budgets = {"g0": 100, "g2": 150}
+        outs = [
+            {r.doc_id for r in quality.token_budget_sample(
+                df, budgets, default_budget=80, n_segments=s).collect()}
+            for s in (1, 7, 64)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        assert outs[0] == self._expected(rows, budgets, 80)
+
+    def test_unlisted_groups_drop_without_default(self, spark):
+        from generative_ner_spark.operators import quality
+
+        df, _ = self._df(spark)
+        out = quality.token_budget_sample(
+            df, {"g1": 10_000}, default_budget=None)
+        got = {r.source for r in out.collect()}
+        assert got == {"g1"}
+        # null weights count as zero in the prefix sum (not poison it):
+        # exact parity with the pure replay where nulls -> weight 0
+        df2 = df.withColumn(
+            "n_tokens", F.when(F.col("doc_id") % 2 == 0,
+                               F.col("n_tokens")))
+        rows2 = [(i, g, w if i % 2 == 0 else 0)
+                 for i, g, w in self._df(spark)[1]]
+        out2 = {r.doc_id for r in quality.token_budget_sample(
+            df2, {"g1": 40}, default_budget=None).collect()}
+        assert out2 == self._expected(rows2, {"g1": 40}, None)
