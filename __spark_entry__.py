@@ -981,6 +981,109 @@ def q51_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q52_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (temporal.sessionize): per user, events
+    more than 12h apart start a new session; one row per session with
+    start/end/count/exact-microsecond duration. ONE Exchange on user_id
+    (the session agg reuses the lag-window's partitioning). Integer-
+    microsecond gap math on both engines — no float epoch drift; ties
+    break on event_id. The oracle is the identical lag+cumsum window
+    in DuckDB."""
+    from generative_ner_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return temporal.sessionize(
+        ev, key_cols="user_id", ts_col="ts", gap_seconds=43200,
+        seq_col="event_id",
+    ).orderBy("user_id", "session_idx")
+
+
+def q53_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (quality.
+    weighted_sample, Efraimidis-Spirakis): the 100 documents drawn with
+    probability proportional to n_chars, via priority ln(u)/w over the
+    md5-derived uniform u — no RNG, identical winners on any cluster
+    size. Spark's plan is TakeOrderedAndProject (bounded per-partition
+    top-n, no full sort); DuckDB replays the same priority ORDER BY
+    LIMIT over the same rank."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quality.weighted_sample(
+        d, 100, weight_col="n_chars", key_col="doc_id",
+    ).orderBy("doc_id")
+
+
+def q54_duplicate_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (dedup.duplicate_window_spans,
+    the Lee-et-al-2022 exact-substring dedup restated distributively):
+    every 8-token window occurring more than once corpus-wide, merged
+    into maximal (doc_id, span_start, span_end) token-index spans.
+    Slim (id, pos, md5) rows only cross the exchanges — text never
+    shuffles; duplicate hashes found by a map-side-combined count.
+    DuckDB replays the identical window-hash + island-merge SQL."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicate_window_spans(
+        d, id_col="doc_id", text_col="text", w=8,
+    ).orderBy("doc_id", "span_start")
+
+
+def q55_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram fluency scoring (tfidf.unigram_logprob_score):
+    per-doc mean negative log-likelihood under the corpus's own unigram
+    distribution — the KenLM-style quality proxy without a model file.
+    One explode + map-side-combined term count (persisted: it feeds the
+    vocab agg AND the scoring join), broadcast vocabulary join, floats
+    rounded to 6 on both engines."""
+    from generative_ner_spark.operators import tfidf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (tfidf.unigram_logprob_score(d, id_col="doc_id")
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+def q56_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters (tfidf.top_terms_per_group): exact
+    top-10 terms by frequency per lang, total-ordered (cnt DESC, term
+    ASC). Explode collapses through ONE map-side-combined groupBy to a
+    vocabulary-sized frame; the top-k is the two-phase (group,
+    term-hash-bucket) window so one language's vocabulary never sits on
+    a single reducer."""
+    from generative_ner_spark.operators import tfidf
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    return tfidf.top_terms_per_group(
+        d, group_col="lang", k=10).orderBy("lang", "rank")
+
+
+def q57_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (temporal.interval_join): error events
+    landing inside any same-user purchase window [ts, ts+2h] — the
+    range predicate becomes part of the equi-join key (intervals
+    explode to hour buckets, each point probes its OWN bucket, so every
+    qualifying pair appears exactly once, no dedup pass). DuckDB
+    replays it as the plain BETWEEN range join."""
+    from generative_ner_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        F.timestamp_micros(
+            # events.ts is TIMESTAMP_NTZ; session tz is UTC so the cast
+            # is exact (same contract as temporal._micros)
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(7_200_000_000)
+        ).alias("hi"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    return temporal.interval_join(
+        errors, windows, key_cols="user_id",
+        bucket_seconds=3600, suffix="",
+    ).orderBy("event_id", "p_event_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1090,6 +1193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_grouped_quantiles": q49_grouped_quantiles,
         "q50_incremental_dedup": q50_incremental_dedup,
         "q51_token_budget_mixture": q51_token_budget_mixture,
+        "q52_sessionize": q52_sessionize,
+        "q53_weighted_sample": q53_weighted_sample,
+        "q54_duplicate_window_spans": q54_duplicate_window_spans,
+        "q55_unigram_nll": q55_unigram_nll,
+        "q56_top_terms_per_lang": q56_top_terms_per_lang,
+        "q57_interval_join": q57_interval_join,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -2154,6 +2263,126 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'src2' THEN 2000
                                      ELSE 600 END
             ORDER BY doc_id""",
+        # q52: identical lag+cumsum session windows; all-integer gap
+        # math (epoch_us) so neither engine sees float epoch rounding
+        "q52_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS us
+                FROM events WHERE ts IS NOT NULL
+            ), f AS (
+                SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                 OR us - lag(us) OVER w > 43200000000
+                               THEN 1 ELSE 0 END AS new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ), s AS (
+                SELECT *, SUM(new) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess
+                FROM f
+            )
+            SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   MAX(us) - MIN(us) AS duration_us
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_idx""",
+        # q53: same Efraimidis-Spirakis priority ln(u)/w over the same
+        # md5 rank; (rk+1) int64->double rounds identically (IEEE
+        # nearest) on both engines and /2^60 is an exact power-of-two op
+        "q53_weighted_sample": """
+            WITH t AS (
+                SELECT doc_id, source, n_chars,
+                       CAST('0x' || substring(md5('wsamp:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           AS rk
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), top AS (
+                SELECT doc_id, source, n_chars FROM t
+                ORDER BY ln((rk + 1) / 1152921504606846976.0)
+                         / n_chars DESC, doc_id
+                LIMIT 100
+            )
+            SELECT * FROM top ORDER BY doc_id""",
+        # q54: same 8-token window md5 over the same whitespace split,
+        # same count>1 rule, same island merge
+        "q54_duplicate_window_spans": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(
+                           trim(text), '[ \t\n\x0b\f\r]+') AS tk
+                FROM documents WHERE length(trim(text)) > 0
+            ), grams AS (
+                SELECT doc_id, i,
+                       md5(array_to_string(tk[i+1:i+8], ' ')) AS h
+                FROM toks, UNNEST(range(0, len(tk) - 8 + 1)) AS t(i)
+            ), dups AS (
+                SELECT h FROM grams GROUP BY h HAVING count(*) > 1
+            ), hits AS (
+                SELECT g.doc_id, g.i FROM grams g JOIN dups USING (h)
+            ), isl AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN prev IS NULL OR i > prev + 8
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY i) AS island
+                FROM (SELECT doc_id, i, lag(i) OVER (
+                          PARTITION BY doc_id ORDER BY i) AS prev
+                      FROM hits)
+            )
+            SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+                   CAST(MAX(i) + 7 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island
+            ORDER BY doc_id, span_start""",
+        # q55: same tokenizer as q43, same -sum(tf*ln(cnt/total))/sum(tf)
+        # with the round-6 float contract
+        "q55_unigram_nll": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                           lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                           x -> x != '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS c
+                FROM tok GROUP BY doc_id, term
+            ), freq AS (
+                SELECT term, CAST(sum(c) AS BIGINT) AS cnt
+                FROM tf GROUP BY term
+            ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                   round(-sum(c * ln(cnt / t)) / sum(c), 6) AS nll
+            FROM tf JOIN freq USING (term) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id""",
+        # q56: same tokenizer; total order (cnt DESC, term ASC) makes
+        # the per-lang top-10 unique
+        "q56_top_terms_per_lang": """
+            WITH tok AS (
+                SELECT lang, unnest(list_filter(regexp_split_to_array(
+                           lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                           x -> x != '')) AS term
+                FROM documents
+            ), c AS (
+                SELECT lang, term, count(*) AS cnt
+                FROM tok GROUP BY lang, term
+            ), r AS (
+                SELECT lang, term, cnt,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY cnt DESC, term) AS INTEGER) AS rank
+                FROM c
+            )
+            SELECT lang, term, cnt, rank FROM r WHERE rank <= 10
+            ORDER BY lang, rank""",
+        # q57: the bucketized range join's reference semantics is the
+        # plain BETWEEN join; upper bound in exact integer microseconds
+        "q57_interval_join": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.event_id AS p_event_id, p.value AS p_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts
+             AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
+            ORDER BY e.event_id, p_event_id""",
         "q29_ivf_topk": """
             -- the planted copies are the ONLY candidates at cosine 1.0
             -- (max random cosine ~0.33 << 1.0) and the probe finds them

@@ -62,6 +62,12 @@ HEADLINE = [
     "q49_grouped_quantiles",
     "q50_incremental_dedup",
     "q51_token_budget_mixture",
+    "q52_sessionize",
+    "q53_weighted_sample",
+    "q54_duplicate_window_spans",
+    "q55_unigram_nll",
+    "q56_top_terms_per_lang",
+    "q57_interval_join",
     "kg_mention_counts",
     "kg_triples",
 ]

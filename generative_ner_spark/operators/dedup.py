@@ -594,3 +594,89 @@ def dedup_against_index(
     banded_new.unpersist()
     sh_new.unpersist()
     return out
+
+
+def duplicate_window_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    broadcast_dup_hashes: bool = False,
+) -> DataFrame:
+    """Exact duplicate-substring detection at token-window granularity —
+    the distributed restatement of suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any ``w``-token window whose content occurs MORE
+    THAN ONCE in the whole corpus (across documents or repeated inside
+    one) is a duplicated region; overlapping/adjacent hits merge into
+    maximal spans.
+
+    Output: one row per merged span — (id, ``span_start``,
+    ``span_end``) as 0-based inclusive token indices. Feed it to a
+    cutter (slice the token array around the spans) for the actual
+    removal; emitting spans keeps the operator pure and testable.
+
+    Scale shape (the suffix array itself is the famously non-
+    distributable part of Lee et al.; rolling windows + two-phase
+    counting give the same >=w-token guarantee):
+
+    1. tokenize once, explode (id, token_index, window_md5) — SLIM
+       rows, the text itself never crosses an exchange;
+    2. duplicate hashes = groupBy(hash).count > 1 — map-side partial
+       agg absorbs the overwhelmingly-unique mass before the shuffle;
+    3. positions of duplicated windows = semi-join grams against the
+       dup-hash set (broadcast it via ``broadcast_dup_hashes`` when the
+       dup vocabulary is known-small; default shuffle semi-join is
+       safe at any dup rate);
+    4. merge per doc: windows are width-``w`` intervals, so after
+       sorting by start, a hit starts a new span iff its start exceeds
+       the previous start + ``w`` (lag + cumsum island trick), then
+       min/max per island — the (id, island) groupBy reuses the
+       window's hash-partitioning on id: no extra exchange.
+
+    DuckDB replays every step as plain SQL (same md5 over the same
+    space-joined token slice) — the q54 oracle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "[ \t\n\x0b\f\r]+")
+    # persisted: grams feeds BOTH the dup-hash count and the position
+    # semi-join — recomputing would tokenize + hash the corpus twice
+    grams = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), toks.alias("_tk"))
+        .where(F.size("_tk") >= w)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - F.lit(w)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("_tk", i + 1, w))),
+                )
+            ).alias("i", "h"),
+        )
+    ).persist()
+    dups = grams.groupBy("h").count().where(F.col("count") > 1).select("h")
+    if broadcast_dup_hashes:
+        dups = F.broadcast(dups)
+    hits = grams.join(dups, "h", "left_semi").select("id", "i")
+    wd = Window.partitionBy("id").orderBy("i")
+    islands = (
+        hits.withColumn("_prev", F.lag("i").over(wd))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull()
+                   | (F.col("i") > F.col("_prev") + w), 1).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                wd.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)),
+        )
+    )
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(F.min("i").cast("long").alias("span_start"),
+             (F.max("i") + F.lit(w - 1)).cast("long").alias("span_end"))
+        .select(F.col("id").alias(id_col), "span_start", "span_end")
+    )

@@ -563,3 +563,70 @@ def grouped_quantiles(
                      F.col("_i") + 1).alias("p"),
         F.round(F.col("q").cast("double"), 6).alias("q"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsamp",
+    group_col: str | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row gets priority u^(1/w) for a hash-derived
+    uniform u in (0, 1]; the top ``n`` priorities are exactly a weighted
+    sample without replacement. The curation staple "sample 1M docs
+    proportional to token count / quality score" — reproducible on any
+    cluster size because u comes from the md5 rank, no RNG.
+
+    We order by the priority's log, ln(u)/w, descending (monotone in
+    u^(1/w); no pow underflow for tiny weights). Rows with NULL or
+    non-positive weight are never selected. Ties (same priority) break
+    by ``key_col``. Output = input columns, the ``n`` winners.
+
+    Scale shape: global mode (``group_col=None``) is orderBy+limit —
+    Catalyst's TakeOrderedAndProject keeps a bounded top-n per
+    partition and merges n*partitions rows on the driver: no full sort,
+    no full shuffle; sized for n up to ~millions, not a 10%-of-corpus
+    cut (use token_budget_sample / stratified_hash_sample for rate
+    sampling). Per-group mode reuses the capped_group_sample two-phase
+    window — (group, hash-bucket) pre-rank first, so a hot group
+    spreads over ``salt_buckets`` reducers, then the tiny survivor
+    re-rank; exact by the same bucket-winner argument.
+
+    The q53 oracle replays ln((rk+1)/2^60)/w in DuckDB: both engines
+    evaluate IEEE-double ln/div on identical inputs, so the ordering —
+    and with the deterministic tie-break, the winner set — agrees.
+    """
+    rk = _md5_rank(key_col, salt)
+    u = (rk + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w_ok = F.col(weight_col).cast("double")
+    es = F.log(u) / w_ok  # ln(u) <= 0; larger (closer to 0) wins
+    staged = (
+        df.where(w_ok.isNotNull() & (w_ok > 0))
+        .withColumn("_es", es)
+    )
+    if group_col is None:
+        return (staged.orderBy(F.desc("_es"), key_col)
+                .limit(n).drop("_es"))
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.xxhash64(F.concat(F.lit("wsb:"),
+                                        F.col(key_col).cast("string"))),
+                    F.lit(salt_buckets))
+    staged = staged.withColumn("_bk", bucket)
+    w1 = Window.partitionBy(group_col, "_bk").orderBy(F.desc("_es"),
+                                                      key_col)
+    phase1 = (
+        staged.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_bk")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.desc("_es"), key_col)
+    return (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_es")
+    )

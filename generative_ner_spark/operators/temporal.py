@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(c):
+    """Integer-microsecond epoch for TIMESTAMP or TIMESTAMP_NTZ input.
+
+    ``unix_micros`` only accepts TIMESTAMP; parquet event tables often
+    carry TIMESTAMP_NTZ. The session timezone is pinned to UTC
+    (plans/session.py), so the NTZ->TIMESTAMP cast is the identity on
+    the underlying micros — exact and monotone, matching how DuckDB's
+    ``epoch_us`` reads the same parquet values.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -98,3 +110,149 @@ def asof_join(
     out_cols.append(F.col("_m._rts").alias(f"{right_ts}{suffix}"))
     out_cols += [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in payload]
     return matched.select(*out_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    key_cols: list[str] | str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    seq_col: str | None = None,
+    value_aggs: dict | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: per key, split the event stream into
+    sessions wherever consecutive events are more than ``gap_seconds``
+    apart, and aggregate each session — the batch twin of every
+    clickstream/telemetry "30-minute session" definition.
+
+    Output, one row per session: key cols, ``session_idx`` (1-based per
+    key, in time order), ``session_start`` / ``session_end`` (first /
+    last event timestamp), ``n_events``, ``duration_us`` (microseconds,
+    exact integer — no float epoch rounding), plus one column per
+    ``value_aggs`` entry ``{out_name: (col, "sum"|"min"|"max"|"avg")}``.
+
+    Semantics pinned for the cross-engine oracle (q52): gap comparison
+    is STRICT (``next - prev > gap``, both in integer microseconds via
+    unix_micros), ties on the timestamp break by ``seq_col`` (pass the
+    event id when one key can log equal timestamps, else the session
+    boundary near a tie would be partition-order dependent), and
+    NULL-timestamp events are dropped (a null can't be ordered into any
+    session; DuckDB's lag-over-order would sort it first instead —
+    divergent, so neither engine sees it).
+
+    Scale shape: ONE Exchange on the key — the lag/cumsum window hash-
+    partitions by key, and the (key, session_idx) groupBy reuses that
+    partitioning (HashPartitioning(key) satisfies the grouping's
+    clustered distribution), so the session agg adds no second shuffle;
+    pinned in PLANS.md + a plan test. Skew = the hottest single key,
+    inherent to any per-key ordered semantics (same argument as the
+    as-of join).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tie = (F.col(seq_col).cast("long") if seq_col
+           else F.lit(0).cast("long"))
+    base = (
+        events.where(F.col(ts_col).isNotNull())
+        .withColumn("_us", _micros(F.col(ts_col)))
+        .withColumn("_tie", tie)
+    )
+    w = Window.partitionBy(*keys).orderBy("_us", "_tie")
+    gap_us = int(gap_seconds) * 1_000_000
+    flagged = base.withColumn(
+        "_new",
+        F.when(
+            F.col("_us") - F.lag("_us").over(w) > F.lit(gap_us), 1
+        ).otherwise(  # first row per key: lag is NULL -> when() falls
+            F.when(F.lag("_us").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    sess = flagged.withColumn(
+        "_sess",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+    ]
+    for out_name, (col, how) in sorted((value_aggs or {}).items()):
+        aggs.append(getattr(F, how)(col).alias(out_name))
+    return (
+        sess.groupBy(*keys, F.col("_sess").alias("session_idx"))
+        .agg(*aggs)
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str] | str,
+    point_ts: str = "ts",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_seconds: int = 3600,
+    payload: list[str] | None = None,
+    suffix: str = "_iv",
+) -> DataFrame:
+    """Range (interval) join: every point row pairs with every interval
+    row of the same key whose ``[lo, hi]`` contains the point's
+    timestamp (both bounds inclusive) — event-in-window attribution,
+    outage overlap, feature windows. Inner join; a point inside k
+    intervals yields k rows.
+
+    Spark's native encoding of ``ON key = key AND ts BETWEEN lo AND hi``
+    is an equi-join on the key with the range as a post-filter — fine
+    until one key is hot, fatal when keys are few (it degenerates
+    toward a per-key cross product BEFORE the filter prunes). The
+    bucketize trick makes the range part of the JOIN KEY:
+
+    1. each interval explodes to the time buckets it covers
+       (floor(lo/B)..floor(hi/B), B = ``bucket_seconds`` — pick B near
+       the typical interval length so the blow-up stays ~2x);
+    2. each point maps to its single bucket floor(ts/B);
+    3. equi-join on (keys..., bucket) + the exact range filter.
+
+    No dedup pass is needed: a (point, interval) pair can only meet in
+    the point's OWN bucket, so every surviving pair appears exactly
+    once. Bucket math is integer microseconds (unix_micros) — no float
+    epoch rounding, cross-engine exact (q57 oracle = DuckDB's plain
+    range join).
+
+    Output: all point columns + each interval ``payload`` column (all
+    non-key, non-bound columns by default) as ``{col}{suffix}``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    pay = (list(payload) if payload is not None
+           else [c for c in intervals.columns
+                 if c not in keys and c not in (lo_col, hi_col)])
+    b_us = int(bucket_seconds) * 1_000_000
+    iv = intervals.where(
+        F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    ).select(
+        *[F.col(k) for k in keys],
+        _micros(F.col(lo_col)).alias("_lo_us"),
+        _micros(F.col(hi_col)).alias("_hi_us"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in pay],
+    ).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_lo_us") / F.lit(b_us)),
+                F.floor(F.col("_hi_us") / F.lit(b_us)),
+            )
+        ),
+    )
+    pt = points.where(F.col(point_ts).isNotNull()).withColumn(
+        "_p_us", _micros(F.col(point_ts))
+    ).withColumn("_bkt", F.floor(F.col("_p_us") / F.lit(b_us)))
+    joined = pt.join(iv, keys + ["_bkt"]).where(
+        (F.col("_p_us") >= F.col("_lo_us"))
+        & (F.col("_p_us") <= F.col("_hi_us"))
+    )
+    return joined.select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"{c}{suffix}") for c in pay],
+    )

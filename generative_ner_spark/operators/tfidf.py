@@ -91,3 +91,102 @@ def tfidf_top_terms(
         .select(F.col("id").alias(id_col), "term", "tf", "df", "score",
                 "rank")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM — the CCNet/KenLM-style fluency proxy without a model
+    file: gibberish and rare-token soup scores HIGH (surprising under
+    the corpus distribution), boilerplate scores LOW. score =
+    -sum(tf * ln(cnt/total)) / sum(tf) over the doc's terms; no
+    smoothing needed (every scored token is in the corpus, cnt >= 1).
+
+    Output: (id, n_tok, nll) — nll rounded to ``round_to`` decimals on
+    both engines (the established float-oracle contract; q55). Docs
+    with zero tokens produce no row.
+
+    Scale shape: term counts are ONE explode + map-side-combined
+    groupBy (the tf frame is persisted — it feeds both the vocab agg
+    and the scoring join, and recomputing it would tokenize the corpus
+    twice); the vocab freq table is VOCABULARY-sized (sublinear in
+    corpus bytes — Heaps' law) and broadcast by default; pass
+    ``broadcast_vocab=False`` for a shuffle join when the vocabulary
+    outgrows executor memory. The grand total crosses the driver as a
+    single scalar row.
+    """
+    # persist stays alive for the caller's action (an unpersist here
+    # would evict before the scoring job runs); executor storage reclaims
+    # it under memory pressure
+    tf = term_frequencies(df, id_col, text_col).persist()
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    if broadcast_vocab:
+        freq = F.broadcast(freq)
+    total = tf.agg(F.sum("tf")).first()[0]
+    if total is None:  # empty/whitespace-only corpus: no scored rows
+        return tf.select(
+            "id", F.lit(0).cast("long").alias("n_tok"),
+            F.lit(0.0).alias("nll")).where(F.lit(False))
+    return (
+        tf.join(freq, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.round(
+                -F.sum(F.col("tf")
+                       * F.log(F.col("cnt") / F.lit(int(total))))
+                / F.sum("tf"),
+                round_to,
+            ).alias("nll"),
+        )
+    )
+
+
+def top_terms_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k terms by frequency per group (language/source/domain
+    vocabulary profiling). Deterministic total order: count DESC, then
+    term ASC.
+
+    Scale shape: the token explode collapses through ONE map-side-
+    combined groupBy into the (group, term, cnt) frame — vocabulary-
+    sized, not corpus-sized. The top-k then runs the same two-phase
+    window as capped_group_sample: rank inside (group, term-hash
+    bucket) first so one group's whole vocabulary never lands on a
+    single reducer, then re-rank the <= salt_buckets * k survivors.
+    Exact: a group-global top-k row is necessarily top-k in its own
+    bucket. Output: (group, term, cnt, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), '\\\\s+'), "
+                   "x -> x != '')")
+        ).alias("term"),
+    )
+    counts = toks.groupBy("grp", "term").agg(F.count("*").alias("cnt"))
+    bucket = F.pmod(F.xxhash64(F.concat(F.lit("tt:"), F.col("term"))),
+                    F.lit(salt_buckets))
+    staged = counts.withColumn("_bk", bucket)
+    w1 = Window.partitionBy("grp", "_bk").orderBy(F.desc("cnt"), "term")
+    phase1 = (staged.withColumn("_rn", F.row_number().over(w1))
+              .where(F.col("_rn") <= k).drop("_rn", "_bk"))
+    w2 = Window.partitionBy("grp").orderBy(F.desc("cnt"), "term")
+    return (
+        phase1.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "cnt", "rank")
+    )

@@ -3325,3 +3325,349 @@ class TestTokenBudgetSample:
         out2 = {r.doc_id for r in quality.token_budget_sample(
             df2, {"g1": 40}, default_budget=None).collect()}
         assert out2 == self._expected(rows2, {"g1": 40}, None)
+
+
+class TestSessionize:
+    """temporal.sessionize: gap-split sessions with integer-microsecond
+    math and deterministic tie-breaks (q52 oracle family)."""
+
+    def _events(self, spark):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 3, 1, 12, 0, 0)
+        rows = []
+        # user 1: 3 events close, gap, 2 events  -> 2 sessions
+        for i, off in enumerate([0, 60, 120, 7200, 7260]):
+            rows.append((i, 1, t0 + timedelta(seconds=off), float(i)))
+        # user 2: single event
+        rows.append((10, 2, t0, 5.0))
+        # user 3: equal timestamps -> tie broken by event_id; one NULL
+        # ts row that must vanish
+        rows.append((20, 3, t0, 1.0))
+        rows.append((21, 3, t0, 2.0))
+        rows.append((22, 3, None, 9.0))
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double")
+
+    def test_gap_split_and_aggregates(self, spark):
+        from generative_ner_spark.operators import temporal
+
+        out = temporal.sessionize(
+            self._events(spark), key_cols="user_id", ts_col="ts",
+            gap_seconds=3600, seq_col="event_id",
+            value_aggs={"v_sum": ("value", "sum")},
+        ).orderBy("user_id", "session_idx").collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r.user_id, []).append(r)
+        assert [(r.n_events, r.duration_us) for r in by_user[1]] == [
+            (3, 120_000_000), (2, 60_000_000)]
+        assert [r.v_sum for r in by_user[1]] == [3.0, 7.0]
+        assert [(r.n_events, r.duration_us) for r in by_user[2]] == [(1, 0)]
+        # null-ts event dropped; equal-ts pair forms ONE session of 2
+        assert [(r.n_events, r.v_sum) for r in by_user[3]] == [(2, 3.0)]
+        assert [r.session_idx for r in by_user[1]] == [1, 2]
+
+    def test_strict_gap_boundary(self, spark):
+        """Events exactly gap_seconds apart stay in ONE session (the
+        split needs gap STRICTLY exceeded) — the pinned oracle rule."""
+        from datetime import datetime, timedelta
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [(1, 1, t0), (2, 1, t0 + timedelta(seconds=600)),
+             (3, 1, t0 + timedelta(seconds=1200, microseconds=1))],
+            "event_id long, user_id long, ts timestamp")
+        out = temporal.sessionize(df, gap_seconds=600, seq_col="event_id"
+                                  ).collect()
+        assert sorted((r.session_idx, r.n_events) for r in out) == [
+            (1, 2), (2, 1)]
+
+    def test_single_exchange_plan(self, spark):
+        """The session agg reuses the lag-window's hash-partitioning on
+        user_id: exactly ONE Exchange in the whole plan."""
+        from generative_ner_spark.operators import temporal
+
+        out = temporal.sessionize(
+            self._events(spark), key_cols="user_id", ts_col="ts",
+            gap_seconds=3600, seq_col="event_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestWeightedSample:
+    """quality.weighted_sample: Efraimidis-Spirakis hash-priority
+    sampling without replacement (q53 oracle family)."""
+
+    @staticmethod
+    def _es_key(i, w):
+        import hashlib
+        import math as m
+
+        rk = int(hashlib.md5(f"wsamp:{i}".encode()).hexdigest()[:15], 16)
+        return m.log((rk + 1) / float(1 << 60)) / w
+
+    def _df(self, spark):
+        rows = [(i, f"g{i % 2}", 1 + (i * 13) % 40) for i in range(80)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, weight long"), rows
+
+    def test_global_matches_pure_replay(self, spark):
+        from generative_ner_spark.operators import quality
+
+        df, rows = self._df(spark)
+        got = {r.doc_id for r in quality.weighted_sample(
+            df, 25, weight_col="weight").collect()}
+        exp = {i for i, _, w in sorted(
+            rows, key=lambda r: (-self._es_key(r[0], r[2]), r[0]))[:25]}
+        assert got == exp
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from generative_ner_spark.operators import quality
+
+        df, _ = self._df(spark)
+        df = df.withColumn(
+            "weight",
+            F.when(F.col("doc_id") < 70,
+                   F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+                   .otherwise(F.lit(None)))
+            .otherwise(F.col("weight")))
+        got = {r.doc_id for r in quality.weighted_sample(
+            df, 25, weight_col="weight").collect()}
+        assert got == set(range(70, 80))  # only positive-weight rows
+
+    def test_grouped_mode_exact_and_capped(self, spark):
+        """Per-group winners match the per-group pure replay for EVERY
+        salt_buckets (the two-phase pre-rank never evicts a winner)."""
+        from generative_ner_spark.operators import quality
+
+        df, rows = self._df(spark)
+        exp = set()
+        for g in ("g0", "g1"):
+            exp |= {i for i, gg, w in sorted(
+                (r for r in rows if r[1] == g),
+                key=lambda r: (-self._es_key(r[0], r[2]), r[0]))[:7]}
+        for buckets in (1, 4, 32):
+            got = {r.doc_id for r in quality.weighted_sample(
+                df, 7, weight_col="weight", group_col="source",
+                salt_buckets=buckets).collect()}
+            assert got == exp
+
+
+class TestDuplicateWindowSpans:
+    """dedup.duplicate_window_spans: corpus-wide duplicated w-token
+    windows merged to maximal spans (q54 oracle family)."""
+
+    @staticmethod
+    def _doc(prefix, n, words):
+        return " ".join(f"{prefix}{j}" for j in range(n // 2)) + " " + \
+            words + " " + " ".join(f"{prefix}x{j}" for j in range(n // 2))
+
+    def test_planted_shared_phrase(self, spark):
+        from generative_ner_spark.operators import dedup as dd
+
+        phrase = " ".join(f"dup{j}" for j in range(10))  # 10 tokens
+        df = spark.createDataFrame(
+            [(1, self._doc("a", 12, phrase)),
+             (2, self._doc("b", 16, phrase)),
+             (3, " ".join(f"c{j}" for j in range(30)))],
+            "doc_id long, text string")
+        out = dd.duplicate_window_spans(df, w=4).collect()
+        spans = {(r.doc_id, r.span_start, r.span_end) for r in out}
+        # doc1: phrase at tokens 6..15; doc2: at 8..17; doc3 clean
+        assert spans == {(1, 6, 15), (2, 8, 17)}
+
+    def test_within_doc_repeat_and_merge(self, spark):
+        from generative_ner_spark.operators import dedup as dd
+
+        # one doc repeating a 4-token phrase twice back-to-back: every
+        # window inside the repeated region is duplicated corpus-wide
+        # (it occurs again 4 tokens later), merging into one span
+        phrase = "p0 p1 p2 p3"
+        text = "u0 u1 u2 " + phrase + " " + phrase + " u3 u4 u5"
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        out = dd.duplicate_window_spans(df, w=4).collect()
+        assert {(r.doc_id, r.span_start, r.span_end) for r in out} == {
+            (7, 3, 10)}
+
+    def test_short_and_empty_docs_ignored(self, spark):
+        from generative_ner_spark.operators import dedup as dd
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "   "), (4, "")],
+            "doc_id long, text string")
+        # docs shorter than w yield no windows even though identical
+        assert dd.duplicate_window_spans(df, w=4).count() == 0
+        # at w=3 the identical docs are full-doc duplicate spans
+        out = dd.duplicate_window_spans(df, w=3).collect()
+        assert {(r.doc_id, r.span_start, r.span_end) for r in out} == {
+            (1, 0, 2), (2, 0, 2)}
+
+    def test_broadcast_flag_plan(self, spark):
+        from generative_ner_spark.operators import dedup as dd
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")],
+            "doc_id long, text string")
+        out = dd.duplicate_window_spans(df, w=4, broadcast_dup_hashes=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert out.count() == 2
+
+
+class TestUnigramNLL:
+    """tfidf.unigram_logprob_score: per-doc mean NLL under the corpus's
+    own unigram distribution (q55 oracle family)."""
+
+    def test_matches_pure_replay_and_ranks_rarity(self, spark):
+        import math as m
+
+        from generative_ner_spark.operators import tfidf
+
+        docs = [(1, "a a a b"), (2, "a b"), (3, "z q"), (4, "a a")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.id: (r.n_tok, r.nll)
+               for r in tfidf.unigram_logprob_score(df).collect()}
+        # replay: counts a=6, b=2, z=1, q=1, total=10
+        cnt = {"a": 6, "b": 2, "z": 1, "q": 1}
+        tot = 10
+        for i, text in docs:
+            toks = text.split()
+            exp = -sum(m.log(cnt[t] / tot) for t in toks) / len(toks)
+            assert out[i][0] == len(toks)
+            assert out[i][1] == pytest.approx(round(exp, 6), abs=2e-6)
+        # the rare-token doc is the most "surprising"
+        assert out[3][1] == max(v[1] for v in out.values())
+
+    def test_empty_corpus_and_blank_docs(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        df = spark.createDataFrame(
+            [(1, "   "), (2, "")], "doc_id long, text string")
+        assert tfidf.unigram_logprob_score(df).count() == 0
+        df2 = spark.createDataFrame(
+            [(1, "w w"), (2, "  ")], "doc_id long, text string")
+        got = {r.id for r in tfidf.unigram_logprob_score(df2).collect()}
+        assert got == {1}
+
+
+class TestTopTermsPerGroup:
+    """tfidf.top_terms_per_group: exact per-group heavy hitters via the
+    two-phase bucketed window (q56 oracle family)."""
+
+    def _df(self, spark):
+        rows = []
+        for g, words in (("en", "x " * 9 + "y " * 5 + "z w v"),
+                         ("de", "y " * 7 + "q " * 7 + "r")):
+            rows.append((g, words.strip()))
+        return spark.createDataFrame(rows, "lang string, text string")
+
+    def test_exact_counts_rank_and_tiebreak(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        out = tfidf.top_terms_per_group(
+            self._df(spark), group_col="lang", k=2,
+        ).collect()
+        got = {(r.lang, r.rank): (r.term, r.cnt) for r in out}
+        assert got[("en", 1)] == ("x", 9)
+        assert got[("en", 2)] == ("y", 5)
+        # de: q and y tie at 7 -> term ASC puts q first
+        assert got[("de", 1)] == ("q", 7)
+        assert got[("de", 2)] == ("y", 7)
+        assert len(got) == 4
+
+    def test_bucket_count_invariant(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        outs = []
+        for b in (1, 3, 32):
+            rows = tfidf.top_terms_per_group(
+                self._df(spark), group_col="lang", k=3, salt_buckets=b,
+            ).collect()
+            outs.append(sorted((r.lang, r.rank, r.term, r.cnt)
+                               for r in rows))
+        assert outs[0] == outs[1] == outs[2]
+
+
+class TestIntervalJoin:
+    """temporal.interval_join: bucketized range join — every in-range
+    (point, interval) pair exactly once (q57 oracle family)."""
+
+    def _frames(self, spark):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 5, 1)
+        pts = spark.createDataFrame(
+            [(i, 1, t0 + timedelta(minutes=m))
+             for i, m in [(1, 0), (2, 30), (3, 150), (4, 600)]]
+            + [(9, 2, t0 + timedelta(minutes=30)), (10, 2, None)],
+            "event_id long, user_id long, ts timestamp")
+        iv = spark.createDataFrame(
+            [(1, t0, t0 + timedelta(hours=1), "w1"),
+             (1, t0 + timedelta(minutes=20), t0 + timedelta(hours=3),
+              "w2"),
+             (2, t0 + timedelta(hours=5), t0 + timedelta(hours=6),
+              "w3"),
+             (2, t0 + timedelta(hours=1), t0, "inverted")],
+            "user_id long, lo timestamp, hi timestamp, name string")
+        return pts, iv
+
+    @staticmethod
+    def _expected():
+        # p1 in w1 (0 in [0,60]); p2 in w1 and w2; p3 (150m) in w2;
+        # p4 (600m) nowhere; user2's point at 30m is outside w3;
+        # inverted interval contributes nothing; NULL-ts point drops
+        return {(1, "w1"), (2, "w1"), (2, "w2"), (3, "w2")}
+
+    def test_pairs_exact_once_across_bucket_sizes(self, spark):
+        from generative_ner_spark.operators import temporal
+
+        pts, iv = self._frames(spark)
+        for bsec in (60, 3600, 86400):
+            rows = temporal.interval_join(
+                pts, iv, key_cols="user_id", bucket_seconds=bsec,
+                suffix="",
+            ).collect()
+            got = [(r.event_id, r.name) for r in rows]
+            assert sorted(got) == sorted(self._expected()), bsec
+            assert len(got) == len(set(got))  # exactly-once, no dedup
+
+    def test_inclusive_bounds_exact_microsecond(self, spark):
+        from datetime import datetime, timedelta
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 5, 1)
+        hi = t0 + timedelta(hours=1)
+        pts = spark.createDataFrame(
+            [(1, 1, t0), (2, 1, hi),
+             (3, 1, hi + timedelta(microseconds=1))],
+            "event_id long, user_id long, ts timestamp")
+        iv = spark.createDataFrame(
+            [(1, t0, hi, "w")],
+            "user_id long, lo timestamp, hi timestamp, name string")
+        got = {r.event_id for r in temporal.interval_join(
+            pts, iv, key_cols="user_id", suffix="").collect()}
+        assert got == {1, 2}  # both bounds inclusive; +1us excluded
+
+    def test_timestamp_ntz_inputs(self, spark):
+        # the sf* events.parquet carries TIMESTAMP_NTZ; unix_micros only
+        # accepts TIMESTAMP — _micros must cast (exact: session tz=UTC)
+        from generative_ner_spark.operators import temporal
+
+        pts, iv = self._frames(spark)
+        pts_ntz = pts.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        iv_ntz = (iv.withColumn("lo", F.col("lo").cast("timestamp_ntz"))
+                  .withColumn("hi", F.col("hi").cast("timestamp_ntz")))
+        got = [(r.event_id, r.name) for r in temporal.interval_join(
+            pts_ntz, iv_ntz, key_cols="user_id", suffix="").collect()]
+        assert sorted(got) == sorted(self._expected())
+
+        sess = temporal.sessionize(
+            pts_ntz.where(F.col("user_id") == 1), key_cols="user_id",
+            ts_col="ts", gap_seconds=3600, seq_col="event_id").collect()
+        # gaps: 0,30,150,600 min -> breaks at >60min: {0,30},{150},{600}
+        assert sorted((r.session_idx, r.n_events) for r in sess) == [
+            (1, 2), (2, 1), (3, 1)]
