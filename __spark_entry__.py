@@ -1084,6 +1084,134 @@ def q57_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "p_event_id")
 
 
+def _part_coocc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared graph input for q58-q60: the part co-occurrence graph
+    (parts are nodes; an edge when two parts ship in the same order) —
+    the market-basket stand-in for the KG's entity co-mention graph."""
+    from generative_ner_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return graph.cooccurrence_edges(
+        li, basket_col="l_orderkey", item_col="l_partkey")
+
+
+def q58_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-salience PageRank (graph.pagerank) over the part
+    co-occurrence graph: 5 power iterations, damping 0.85, uniform init;
+    undirected => no dangling mass. ONE Exchange per iteration (the
+    contribution groupBy — the adjacency is pre-partitioned by src and
+    ranks arrive hash-partitioned on node from the previous step);
+    localCheckpoint truncates the per-iteration lineage. The oracle
+    unrolls the identical five updates as chained CTEs, all-DOUBLE
+    arithmetic, round-6 float contract."""
+    from generative_ner_spark.operators import graph
+
+    return graph.pagerank(
+        _part_coocc_edges(spark, sf_dir), n_iter=5, damping=0.85,
+    ).orderBy("node")
+
+
+def q59_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts (graph.triangle_counts) over the
+    part co-occurrence graph — degree-ordered orientation (Suri &
+    Vassilvitskii WWW'11) so each triangle yields ONE wedge at its
+    lowest-rank vertex and hub out-degrees stay O(sqrt E): no
+    curse-of-the-last-reducer bucket. DuckDB replays the identical
+    orientation + wedge-close SQL."""
+    from generative_ner_spark.operators import graph
+
+    return graph.triangle_counts(
+        _part_coocc_edges(spark, sf_dir)).orderBy("node")
+
+
+def q60_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-expansion BFS (graph.khop_neighbors): every part within 3
+    hops of the ~1%-sampled seed parts, labeled with its minimal hop.
+    Frontier-only expansion (hop i joins just the hop-(i-1) frontier
+    against the persisted adjacency, anti-joins visited) — work per hop
+    is O(frontier x degree), never O(visited). Oracle = the same three
+    frontier expansions as chained CTEs with MIN(hop) merges."""
+    from generative_ner_spark.operators import graph
+
+    seeds = _t(spark, sf_dir, "part").where(
+        F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("node"))
+    return graph.khop_neighbors(
+        _part_coocc_edges(spark, sf_dir), seeds, k=3,
+    ).orderBy("node")
+
+
+def q61_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h velocity features (temporal.rolling_agg): every
+    event gains the count and value-sum of same-user events in
+    [ts-24h, ts]. ONE Exchange on user_id; the RANGE frame (not ROWS)
+    makes equal-timestamp rows share a frame — deterministic without a
+    sequence column, and exactly DuckDB's RANGE BETWEEN replay.
+    Round-6 float contract on the windowed sum."""
+    from generative_ner_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    return temporal.rolling_agg(
+        ev, key_cols="user_id", ts_col="ts", window_seconds=86400,
+        value_col="value",
+    ).drop("value").orderBy("event_id")
+
+
+def q62_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (tfidf.pmi_bigrams): adjacent-bigram PMI over
+    the documents corpus, pairs seen >= 5 times. One explode + ONE
+    map-side-combined groupBy over corpus-sized data; marginals are
+    vocabulary-sized re-aggregations of the persisted pair counts. The
+    oracle replays the same tokenizer, the same bigram-table marginals,
+    and the same ln(n_pair*N/(n_first*n_second)) rounded to 6."""
+    from generative_ner_spark.operators import tfidf
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return tfidf.pmi_bigrams(d, min_count=5).orderBy("w1", "w2")
+
+
+def q63_fuzzy_name_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate entity-name linking (linking.fuzzy_name_link):
+    deterministically mutated part names (drop last char / append 'x' /
+    unchanged by partkey mod 3) re-linked to the part catalog within
+    Levenshtein distance 2. Blocking = equi-join on (lower 1-char
+    prefix, length band via catalog-side explode) — no similarity cross
+    join; best match is a map-side-combinable min(struct(distance,
+    entity_id)). The oracle replays the identical blocking predicate
+    and tie-break."""
+    from generative_ner_spark.operators import linking
+
+    part = _t(spark, sf_dir, "part")
+    mentions = part.select(
+        F.col("p_partkey").alias("mention_id"),
+        F.expr(
+            "CASE CAST(p_partkey % 3 AS INT)"
+            " WHEN 0 THEN substring(p_name, 1, length(p_name) - 1)"
+            " WHEN 1 THEN concat(p_name, 'x')"
+            " ELSE p_name END").alias("mention"),
+    )
+    catalog = part.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("name"))
+    return linking.fuzzy_name_link(
+        mentions, catalog, max_distance=2).orderBy("mention_id")
+
+
+def q64_jaccard_set_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (dedup.jaccard_set_join): every
+    document pair with 3-token-shingle-set Jaccard >= 0.5. PPJoin
+    prefix filtering (rarest-first global shingle order; a doc exposes
+    only its first n-ceil(t*n)+1 shingles as join keys) makes candidate
+    generation rare-shingle-bound instead of all-pairs; exact
+    verification on sorted shingle arrays. The oracle replays the
+    UNFILTERED quadratic definition, so hash-equality also certifies
+    the prefix filter lossless."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.jaccard_set_join(
+        d, shingle_n=3, threshold=0.5).orderBy("a", "b")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1199,6 +1327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_unigram_nll": q55_unigram_nll,
         "q56_top_terms_per_lang": q56_top_terms_per_lang,
         "q57_interval_join": q57_interval_join,
+        "q58_pagerank": q58_pagerank,
+        "q59_triangle_counts": q59_triangle_counts,
+        "q60_khop_neighbors": q60_khop_neighbors,
+        "q61_rolling_events": q61_rolling_events,
+        "q62_pmi_collocations": q62_pmi_collocations,
+        "q63_fuzzy_name_link": q63_fuzzy_name_link,
+        "q64_jaccard_set_join": q64_jaccard_set_join,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -2383,6 +2518,249 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
             ORDER BY e.event_id, p_event_id""",
+        # q58: the same five power-iteration updates unrolled as chained
+        # CTEs; all arithmetic forced to DOUBLE (DuckDB decimal literals
+        # would otherwise run DECIMAL math), round-6 float contract
+        "q58_pagerank": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, COUNT(*) AS degree FROM sym
+                GROUP BY src
+            ), n AS (SELECT COUNT(*) AS cnt FROM deg),
+            r0 AS (
+                SELECT node, CAST(1 AS DOUBLE) / n.cnt AS pr
+                FROM deg CROSS JOIN n
+            ),
+            r1 AS (
+                SELECT deg.node, CAST(0.15 AS DOUBLE) / n.cnt
+                     + CAST(0.85 AS DOUBLE) * COALESCE(x.acc, 0) AS pr
+                FROM deg CROSS JOIN n
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r0 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = deg.node
+            ),
+            r2 AS (
+                SELECT deg.node, CAST(0.15 AS DOUBLE) / n.cnt
+                     + CAST(0.85 AS DOUBLE) * COALESCE(x.acc, 0) AS pr
+                FROM deg CROSS JOIN n
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r1 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = deg.node
+            ),
+            r3 AS (
+                SELECT deg.node, CAST(0.15 AS DOUBLE) / n.cnt
+                     + CAST(0.85 AS DOUBLE) * COALESCE(x.acc, 0) AS pr
+                FROM deg CROSS JOIN n
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r2 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = deg.node
+            ),
+            r4 AS (
+                SELECT deg.node, CAST(0.15 AS DOUBLE) / n.cnt
+                     + CAST(0.85 AS DOUBLE) * COALESCE(x.acc, 0) AS pr
+                FROM deg CROSS JOIN n
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r3 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = deg.node
+            ),
+            r5 AS (
+                SELECT deg.node, CAST(0.15 AS DOUBLE) / n.cnt
+                     + CAST(0.85 AS DOUBLE) * COALESCE(x.acc, 0) AS pr
+                FROM deg CROSS JOIN n
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r4 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = deg.node
+            )
+            SELECT r5.node, deg.degree, round(r5.pr, 6) AS pr
+            FROM r5 JOIN deg ON deg.node = r5.node
+            ORDER BY r5.node""",
+        # q59: identical degree-ordered orientation + wedge-close SQL;
+        # exact integer counts
+        "q59_triangle_counts": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, COUNT(*) AS degree FROM sym
+                GROUP BY src
+            ), oriented AS (
+                SELECT sym.src, sym.dst
+                FROM sym JOIN deg ds ON ds.node = sym.src
+                         JOIN deg dd ON dd.node = sym.dst
+                WHERE ds.degree < dd.degree
+                   OR (ds.degree = dd.degree AND sym.src < sym.dst)
+            ), wedges AS (
+                SELECT o1.src AS apex, o1.dst AS b, o2.dst AS c
+                FROM oriented o1 JOIN oriented o2
+                  ON o1.src = o2.src AND o1.dst < o2.dst
+            ), tri AS (
+                SELECT w.apex, w.b, w.c FROM wedges w
+                JOIN edges e ON e.s = w.b AND e.d = w.c
+            ), membr AS (
+                SELECT apex AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            SELECT node, COUNT(*) AS n_triangles FROM membr
+            GROUP BY node ORDER BY node""",
+        # q60: the same three frontier expansions as chained CTEs with
+        # MIN(hop) merges (BFS minimal hop == anti-join frontier BFS)
+        "q60_khop_neighbors": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), seeds AS (
+                SELECT DISTINCT p_partkey AS node FROM part
+                WHERE p_partkey % 97 = 0
+            ), h0 AS (SELECT node, 0 AS hop FROM seeds),
+            n1 AS (SELECT DISTINCT sym.dst AS node FROM sym
+                   JOIN h0 ON h0.node = sym.src),
+            h1 AS (SELECT node, MIN(hop) AS hop FROM (
+                       SELECT node, hop FROM h0
+                       UNION ALL SELECT node, 1 FROM n1) u GROUP BY node),
+            n2 AS (SELECT DISTINCT sym.dst AS node FROM sym
+                   JOIN (SELECT node FROM h1 WHERE hop = 1) f
+                     ON f.node = sym.src),
+            h2 AS (SELECT node, MIN(hop) AS hop FROM (
+                       SELECT node, hop FROM h1
+                       UNION ALL SELECT node, 2 FROM n2) u GROUP BY node),
+            n3 AS (SELECT DISTINCT sym.dst AS node FROM sym
+                   JOIN (SELECT node FROM h2 WHERE hop = 2) f
+                     ON f.node = sym.src),
+            h3 AS (SELECT node, MIN(hop) AS hop FROM (
+                       SELECT node, hop FROM h2
+                       UNION ALL SELECT node, 3 FROM n3) u GROUP BY node)
+            SELECT node, CAST(hop AS INT) AS hop FROM h3
+            ORDER BY node""",
+        # q61: DuckDB's RANGE frame over integer epoch micros is the
+        # identical trailing-window semantics; round-6 on the float sum
+        "q61_rolling_events": """
+            SELECT event_id, user_id, ts,
+                   COUNT(*) OVER w AS n_window,
+                   round(SUM(value) OVER w, 6) AS sum_window
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 86400000000 PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id""",
+        # q62: same tokenizer as q43/q55, same bigram-table marginals,
+        # same ln(n_pair * N / (n_first * n_second)) rounded to 6
+        "q62_pmi_collocations": r"""
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(
+                           lower(text), '[ \t\n\x0b\f\r]+'),
+                           x -> x != '') AS tk
+                FROM documents
+            ), bg AS (
+                SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+                FROM toks, UNNEST(range(0, len(tk) - 1)) AS t(i)
+            ), pc AS (
+                SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2
+            ), tot AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS n FROM pc),
+            f AS (SELECT w1, SUM(n_pair) AS n_first FROM pc GROUP BY w1),
+            s AS (SELECT w2, SUM(n_pair) AS n_second FROM pc GROUP BY w2)
+            SELECT pc.w1, pc.w2, pc.n_pair,
+                   round(ln(CAST(pc.n_pair AS DOUBLE) * tot.n
+                            / (CAST(f.n_first AS DOUBLE)
+                               * CAST(s.n_second AS DOUBLE))), 6) AS pmi
+            FROM pc JOIN f USING (w1) JOIN s USING (w2) CROSS JOIN tot
+            WHERE pc.n_pair >= 5
+            ORDER BY pc.w1, pc.w2""",
+        # q63: identical mutation, blocking predicate (prefix + length
+        # band) and (distance, entity_id) tie-break; Spark levenshtein
+        # is INT -> cast
+        "q63_fuzzy_name_link": """
+            WITH m AS (
+                SELECT p_partkey AS mention_id,
+                       CASE CAST(p_partkey % 3 AS INT)
+                         WHEN 0 THEN substring(p_name, 1,
+                                               length(p_name) - 1)
+                         WHEN 1 THEN p_name || 'x'
+                         ELSE p_name END AS mention
+                FROM part
+            ), c AS (
+                SELECT p_partkey AS entity_id, p_name AS name FROM part
+            ), hits AS (
+                SELECT m.mention_id, m.mention, c.entity_id, c.name,
+                       levenshtein(lower(m.mention),
+                                   lower(c.name)) AS distance
+                FROM m JOIN c
+                  ON substring(lower(m.mention), 1, 1)
+                     = substring(lower(c.name), 1, 1)
+                 AND abs(length(m.mention) - length(c.name)) <= 2
+                WHERE levenshtein(lower(m.mention), lower(c.name)) <= 2
+            ), best AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY mention_id
+                    ORDER BY distance, entity_id) AS rn
+                FROM hits
+            )
+            SELECT mention_id, mention, entity_id, name,
+                   CAST(distance AS INT) AS distance
+            FROM best WHERE rn = 1 ORDER BY mention_id""",
+        # q64: the unfiltered quadratic set-similarity definition — a
+        # hash match certifies the Spark side's PPJoin prefix filter
+        # found EVERY qualifying pair (losslessness, not just parity)
+        "q64_jaccard_set_join": r"""
+            WITH tk AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i+1:i+3], ' ') AS tok
+                FROM tk, UNNEST(range(0, len(t) - 2)) AS u(i)
+                WHERE len(t) >= 3
+            ), n AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       COUNT(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT inter.a, inter.b, inter.n_common,
+                   round(CAST(n_common AS DOUBLE)
+                         / (na.n + nb.n - n_common), 6) AS jaccard
+            FROM inter JOIN n na ON na.doc_id = inter.a
+                       JOIN n nb ON nb.doc_id = inter.b
+            WHERE CAST(n_common AS DOUBLE)
+                  / (na.n + nb.n - n_common) >= 0.5
+            ORDER BY inter.a, inter.b""",
         "q29_ivf_topk": """
             -- the planted copies are the ONLY candidates at cosine 1.0
             -- (max random cosine ~0.33 << 1.0) and the probe finds them

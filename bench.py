@@ -68,6 +68,13 @@ HEADLINE = [
     "q55_unigram_nll",
     "q56_top_terms_per_lang",
     "q57_interval_join",
+    "q58_pagerank",
+    "q59_triangle_counts",
+    "q60_khop_neighbors",
+    "q61_rolling_events",
+    "q62_pmi_collocations",
+    "q63_fuzzy_name_link",
+    "q64_jaccard_set_join",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -680,3 +680,92 @@ def duplicate_window_spans(
              (F.max("i") + F.lit(w - 1)).cast("long").alias("span_end"))
         .select(F.col("id").alias(id_col), "span_start", "span_end")
     )
+
+
+def jaccard_set_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT set-similarity self-join: all document pairs whose
+    ``shingle_n``-token shingle SETS have Jaccard >= ``threshold`` ->
+    ``(a, b, n_common, jaccard)`` with a < b. The exact counterpart of
+    the MinHash families — use it when the pair list must be provably
+    complete (legal/compliance dedup, oracle labels for tuning the
+    probabilistic path).
+
+    Never all-pairs: PPJoin-style prefix filtering (Xiao et al. WWW'08).
+    Shingles are globally ordered by (document frequency, shingle) —
+    rarest first — and a document of set-size n exposes only its first
+    ``n - ceil(t*n) + 1`` shingles as join keys: two sets with Jaccard
+    >= t MUST share a prefix shingle (if A∩B avoided A's prefix it
+    would fit inside the last ceil(t*n)-1 positions < t*n <= |A∩B|).
+    Candidate generation therefore joins on mostly-rare shingles (the
+    df-order puts 'the'-like shingles LAST, out of every prefix),
+    then exact verification joins the deduped candidate pairs back to
+    per-doc sorted shingle arrays and filters on true Jaccard. The
+    DuckDB oracle replays the UNFILTERED quadratic definition, so a
+    hash-green q64 also certifies the prefix filter lossless.
+    """
+    t = float(threshold)
+    # pattern stays a Python string through F.split — routing it through an
+    # F.expr SQL literal mangles the escapes (\x0b -> literal x,0,b in the
+    # class), the CLAUDE.md SQL-lexer gotcha.
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+"),
+        lambda x: x != F.lit(""))
+    sh = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        .where(F.size("_tk") >= shingle_n)
+        .select(
+            "_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(_tk) - {shingle_n}),"
+                f" i -> array_join(slice(_tk, i + 1, {shingle_n}), ' '))"
+            )).alias("tok"),
+        )
+        .distinct()
+        .persist()  # feeds df-rank, sizes, verification arrays
+    )
+    dfreq = sh.groupBy("tok").agg(F.count("*").alias("_df"))
+    wdoc = Window.partitionBy("_id")
+    ranked = (
+        sh.join(dfreq, "tok")
+        .withColumn("_pos", F.row_number().over(
+            wdoc.orderBy("_df", "tok")))
+        .withColumn("_n", F.count("*").over(wdoc))
+    )
+    prefix = ranked.where(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1)
+    cand = (
+        prefix.select("tok", F.col("_id").alias("a"),
+                      F.col("_n").alias("na"))
+        .join(prefix.select("tok", F.col("_id").alias("b"),
+                            F.col("_n").alias("nb")), "tok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "na", "nb")
+        .distinct()
+    )
+    sets = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("_set"))
+    verified = (
+        cand.join(sets.select(F.col("_id").alias("a"),
+                              F.col("_set").alias("_sa")), "a")
+        .join(sets.select(F.col("_id").alias("b"),
+                          F.col("_set").alias("_sb")), "b")
+        .withColumn("n_common",
+                    F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .where(F.col("jaccard") >= t)
+        .select("a", "b", "n_common",
+                F.round("jaccard", round_to).alias("jaccard"))
+    )
+    out = verified.localCheckpoint()
+    sh.unpersist()
+    return out

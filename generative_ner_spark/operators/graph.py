@@ -1,0 +1,257 @@
+"""Graph analytics over the constructed knowledge graph.
+
+The KG pipeline's output is a graph (entities = nodes, triples/co-mentions
+= edges); downstream curation wants graph-shaped signals: entity salience
+(PageRank), local clustering (triangles), and seed-expansion neighborhoods
+(k-hop BFS) for building focused subcorpora. No reference counterpart —
+this extends the pipeline the same way jobs/curate_corpus.py does; the
+algorithms are the published MapReduce formulations (Brin & Page 1998;
+Suri & Vassilvitskii WWW'11 "Counting triangles and the curse of the last
+reducer"; Kiveris et al. SoCC'14 already powers canonicalize.
+connected_components).
+
+Scale shape, sized for 100 TB of edges:
+* Everything is (long, long) edge rows — node payloads never enter the
+  iteration dataframes.
+* ``pagerank`` pre-materializes the out-degree-annotated symmetric
+  adjacency ONCE, hash-partitioned by src, and persists it; each
+  iteration's rank frame comes out of a groupBy(dst) hash-partitioned on
+  the SAME key domain, so the per-iteration join reuses both sides'
+  partitioning — the only per-iteration Exchange is the contribution
+  groupBy. Ranks are ``localCheckpoint``ed every iteration to truncate
+  lineage (an unrolled 5-deep join tree re-optimizes the whole history
+  per step otherwise).
+* ``triangle_counts`` orients every edge from lower to higher
+  (degree, id) rank before generating wedges — the classic fix for the
+  curse-of-the-last-reducer: a hub of degree D contributes O(D^2) wedges
+  un-oriented, but oriented out-degrees are bounded by O(sqrt(E)), so no
+  reducer sees a quadratic bucket.
+* ``khop_neighbors`` is frontier BFS: hop i joins ONLY the hop-(i-1)
+  frontier (not the whole visited set) against the adjacency, anti-joins
+  the visited set, unions. Frontiers are localCheckpointed per hop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """(basket, item) rows -> undirected weighted co-occurrence edges
+    ``(src, dst, weight)`` with ``src < dst``; weight = number of baskets
+    containing both items. The market-basket / co-mention graph builder:
+    for the KG it is "entities mentioned in the same document".
+
+    Distributed shape: distinct (basket, item), self-join within basket
+    (src < dst halves the output and canonicalizes in one step), one
+    map-side-combined groupBy for the weights. ``max_basket`` bounds the
+    quadratic per-basket blowup exactly like the banding families'
+    ``capped_self_join_pairs``: baskets above the cap are dropped whole
+    (a 10^6-item basket contributes 10^12 pairs otherwise), and
+    ``metrics`` receives {"capped_baskets", "capped_rows"}.
+    """
+    items = df.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    if max_basket is not None:
+        counts = items.groupBy("_bk").agg(F.count("*").alias("_bc"))
+        counts = counts.persist()
+        if metrics is not None:
+            over = (
+                counts.where(F.col("_bc") > max_basket)
+                .agg(F.count("*").alias("b"),
+                     F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
+                .first()
+            )
+            metrics["capped_baskets"] = over["b"]
+            metrics["capped_rows"] = int(over["r"])
+        items = items.join(
+            counts.where(F.col("_bc") <= max_basket), "_bk"
+        ).drop("_bc")
+    left = items.select("_bk", F.col("_it").alias("src"))
+    right = items.select("_bk", F.col("_it").alias("dst"))
+    return (
+        left.join(right, "_bk")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Canonical (src<dst) edge list -> both-direction (src, dst) rows."""
+    e = edges.select("src", "dst")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, degree) over a canonical undirected edge list — one
+    map-side-combined groupBy over the symmetrized edges."""
+    return (
+        _symmetric(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected (canonical src<dst)
+    edge list -> ``(node, degree, pr)``. Uniform 1/N init; per step
+    ``pr'(v) = (1-d)/N + d * sum_{u~v} pr(u)/deg(u)``. Nodes are "in the
+    graph" iff they appear in an edge, so every node has degree >= 1 and
+    there is no dangling mass to redistribute — the update is exactly the
+    q58 oracle's unrolled SQL.
+
+    Per-iteration cost: ONE Exchange (the contribution groupBy). The
+    degree-annotated symmetric adjacency is repartitioned by src and
+    persisted up front; the rank frame arrives hash-partitioned on
+    ``node`` from the previous groupBy, so the join aligns both sides
+    without reshuffling. ``localCheckpoint`` after every step truncates
+    the lineage — without it Catalyst re-plans an n_iter-deep join tree
+    per action and driver time grows quadratically in iterations.
+    """
+    spark = edges.sparkSession
+    deg = degrees(edges).persist()
+    adj = (
+        _symmetric(edges)
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .repartition("src")
+        .persist()
+    )
+    n = deg.count()  # also materializes deg (and seeds adj's build)
+    ranks = deg.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("pr")
+    ).localCheckpoint()
+    teleport = (1.0 - damping) / float(n)
+    for _ in range(n_iter):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("degree")).alias("_in"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                 ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.join(deg, "node").select(
+        "node", "degree",
+        (F.round("pr", round_to) if round_to is not None
+         else F.col("pr")).alias("pr"),
+    )
+    adj.unpersist()
+    deg.unpersist()
+    return out
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts ``(node, n_triangles)`` over a
+    canonical undirected edge list; nodes in no triangle are omitted.
+
+    Degree-ordered orientation (Suri & Vassilvitskii WWW'11): each edge
+    points from its lower (degree, id) endpoint to the higher, so every
+    triangle produces exactly ONE wedge at its unique lowest-rank vertex
+    and hub vertices generate O(sqrt(E)) out-neighbors instead of O(D)
+    — the wedge self-join can't melt a reducer. Wedge (apex, b, c) with
+    b < c (id order) closes iff canonical edge (b, c) exists; the
+    closing join is on the slim canonical list. Each triangle then
+    credits its three vertices via a 3-way unpivot + groupBy.
+    """
+    deg = degrees(edges)
+    e = edges.select("src", "dst")
+    ranked = (
+        _symmetric(e)
+        .join(deg.withColumnRenamed("node", "src")
+                 .withColumnRenamed("degree", "_ds"), "src")
+        .join(deg.withColumnRenamed("node", "dst")
+                 .withColumnRenamed("degree", "_dd"), "dst")
+    )
+    oriented = ranked.where(
+        (F.col("_ds") < F.col("_dd"))
+        | ((F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst").persist()
+    wedges = (
+        oriented.alias("o1")
+        .join(oriented.alias("o2"), F.col("o1.src") == F.col("o2.src"))
+        .where(F.col("o1.dst") < F.col("o2.dst"))
+        .select(
+            F.col("o1.src").alias("apex"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    out = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = out.localCheckpoint()
+    oriented.unpersist()
+    return out
+
+
+def khop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    node_col: str = "node",
+) -> DataFrame:
+    """Minimal-hop BFS from a seed set over a canonical undirected edge
+    list -> ``(node, hop)`` for every node within ``k`` hops (seeds at
+    hop 0, whether or not they touch an edge). The seed-expansion
+    primitive for building focused subcorpora ("every entity within 3
+    hops of these companies").
+
+    Frontier BFS: hop i expands ONLY the hop-(i-1) frontier against the
+    persisted symmetric adjacency and anti-joins the visited set — work
+    per hop is O(frontier x avg-degree), never O(visited). Early-exits
+    when a frontier empties. Each hop's frames are localCheckpointed so
+    the final union is k shallow scans, not a k-deep join tree.
+    """
+    adj = _symmetric(edges).repartition("src").persist()
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for i in range(1, k + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(i))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    adj.unpersist()
+    return visited

@@ -256,3 +256,48 @@ def interval_join(
         *[F.col(c) for c in points.columns],
         *[F.col(f"{c}{suffix}") for c in pay],
     )
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    value_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-event trailing-window aggregates: every row gains the count
+    (``n_window``) and, when ``value_col`` is given, the sum
+    (``sum_window``) of same-key rows with ``ts`` in
+    ``[row.ts - window_seconds, row.ts]`` — the rate-limiter /
+    velocity-feature staple ("events from this user in the last 24 h").
+
+    Spark's RANGE window frame does this in ONE Exchange on the key:
+    ``rangeBetween(-W, 0)`` over integer microseconds. RANGE (not ROWS)
+    is the correct frame — all rows carrying the SAME timestamp share one
+    frame regardless of partition-internal order, which is what makes
+    the result deterministic without a sequence column and exactly what
+    DuckDB's ``RANGE BETWEEN ... PRECEDING AND CURRENT ROW`` replays
+    (q61 oracle). Skew follows the key distribution like any keyed
+    window; NULL timestamps are dropped (no frame membership is
+    definable for them).
+
+    Float contract: the windowed sum adds the same value set on both
+    engines but in different orders — ``round_to`` (default 6) absorbs
+    the non-associativity drift, same as every other float oracle here.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "_us", _micros(F.col(ts_col)))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_us")
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    out = out.withColumn("n_window", F.count("*").over(w))
+    if value_col is not None:
+        s = F.sum(value_col).over(w)
+        out = out.withColumn(
+            "sum_window",
+            F.round(s, round_to) if round_to is not None else s)
+    return out.drop("_us")

@@ -190,3 +190,66 @@ def top_terms_per_group(
         .where(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "term", "cnt", "rank")
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token bigrams -> ``(w1, w2, n_pair, pmi)`` for pairs seen at least
+    ``min_count`` times. The relation-candidate / multiword-entity
+    detector ("new york", "machine learning") of every corpus-analysis
+    stack; marginals come from the bigram table itself (first-position
+    count x second-position count over the bigram total), so one explode
+    feeds everything.
+
+    Scale shape: tokens never leave their row — bigrams materialize via
+    an O(1)-depth ``transform(sequence(...))`` into (w1, w2) structs,
+    ONE explode, one map-side-combined groupBy to pair counts (the only
+    wide op over corpus-sized data). The two marginal frames and the
+    scalar total are vocabulary-sized aggregates of THAT counted frame
+    (persisted — three consumers), rejoined on the bigram keys; AQE
+    picks broadcast when a marginal frame fits (vocabularies usually
+    do) and falls back to a shuffle join when a web-scale vocabulary
+    doesn't — no hard F.broadcast that could OOM an executor. PMI =
+    ln(n_pair * N / (n_first * n_second)), round-6 float contract.
+    """
+    # pattern stays a Python string through F.split — an F.expr SQL literal
+    # mangles the escapes (\x0b -> literal x,0,b), the SQL-lexer gotcha.
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+"),
+        lambda t: t != F.lit(""))
+    pairs = (
+        df.select(toks.alias("_tk"))
+        .where(F.size("_tk") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(0, size(_tk) - 2),"
+            " i -> struct(_tk[i] AS w1, _tk[i + 1] AS w2))")).alias("_bg"))
+        .select("_bg.w1", "_bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .persist()
+    )
+    total = pairs.agg(F.sum("n_pair")).first()[0]
+    first = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    second = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_second"))
+    out = (
+        pairs.where(F.col("n_pair") >= min_count)
+        .join(first, "w1")
+        .join(second, "w2")
+        .select(
+            "w1", "w2", "n_pair",
+            F.round(
+                F.log(F.col("n_pair").cast("double") * F.lit(float(total))
+                      / (F.col("n_first").cast("double")
+                         * F.col("n_second").cast("double"))),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    out = out.localCheckpoint()
+    pairs.unpersist()
+    return out

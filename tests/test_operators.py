@@ -3671,3 +3671,264 @@ class TestIntervalJoin:
         # gaps: 0,30,150,600 min -> breaks at >60min: {0,30},{150},{600}
         assert sorted((r.session_idx, r.n_events) for r in sess) == [
             (1, 2), (2, 1), (3, 1)]
+
+
+class TestGraphOps:
+    """graph.py: co-occurrence edges, PageRank, triangles, k-hop BFS."""
+
+    @staticmethod
+    def _edges(spark, pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "src long, dst long")
+
+    def test_cooccurrence_edges_weights_and_cap(self, spark):
+        from generative_ner_spark.operators import graph
+
+        rows = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (1, 10),  # dup (basket,item) row
+             (2, 10), (2, 11)],
+            "bk long, it long")
+        got = {(r.src, r.dst): r.weight for r in graph.cooccurrence_edges(
+            rows, "bk", "it").collect()}
+        assert got == {(10, 11): 2, (10, 12): 1, (11, 12): 1}
+
+        m = {}
+        capped = {(r.src, r.dst): r.weight for r in graph.cooccurrence_edges(
+            rows, "bk", "it", max_basket=2, metrics=m).collect()}
+        assert capped == {(10, 11): 1}  # basket 1 (3 items) dropped whole
+        assert m == {"capped_baskets": 1, "capped_rows": 3}
+
+    def test_pagerank_matches_pure_power_iteration(self, spark):
+        from collections import defaultdict
+
+        from generative_ner_spark.operators import graph
+
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+        adj = defaultdict(list)
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        n = len(adj)
+        pr = {v: 1.0 / n for v in adj}
+        for _ in range(5):
+            pr = {v: 0.15 / n + 0.85 * sum(pr[u] / len(adj[u])
+                                           for u in adj[v])
+                  for v in adj}
+
+        got = {r.node: (r.degree, r.pr) for r in graph.pagerank(
+            self._edges(spark, pairs), n_iter=5).collect()}
+        assert set(got) == set(adj)
+        for v in adj:
+            assert got[v][0] == len(adj[v])
+            assert got[v][1] == pytest.approx(pr[v], abs=2e-6)
+        # undirected graph, no dangling mass: total rank is conserved
+        assert sum(p for _, p in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+    def test_triangle_counts_k4_plus_pendant(self, spark):
+        from generative_ner_spark.operators import graph
+
+        k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+        extra = [(13, 20), (13, 21), (20, 21), (21, 30)]  # +tri, 30 pendant
+        got = {r.node: r.n_triangles for r in graph.triangle_counts(
+            self._edges(spark, k4 + extra)).collect()}
+        # K4 = 4 triangles, 3 per member; (13,20,21) adds 1 to node 13
+        assert got == {10: 3, 11: 3, 12: 3, 13: 4, 20: 1, 21: 1}
+        assert 30 not in got  # triangle-free nodes omitted
+
+    def test_khop_minimal_hops_and_isolated_seed(self, spark):
+        from generative_ner_spark.operators import graph
+
+        path = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+        seeds = spark.createDataFrame([(1,), (99,), (1,)], "node long")
+        got = {r.node: r.hop for r in graph.khop_neighbors(
+            self._edges(spark, path), seeds, k=3).collect()}
+        # minimal hops along the path; 5/6 beyond k; 99 isolated at hop 0
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 99: 0}
+
+    def test_khop_early_exit_and_min_over_branches(self, spark):
+        from generative_ner_spark.operators import graph
+
+        # diamond: two routes to 4 (via 2 and 3) -> hop must be the MIN
+        pairs = [(1, 2), (1, 3), (2, 4), (3, 4)]
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.hop for r in graph.khop_neighbors(
+            self._edges(spark, pairs), seeds, k=3).collect()}
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2}  # frontier empties at 3
+
+
+class TestRollingAgg:
+    def test_trailing_window_count_sum_and_ties(self, spark):
+        from datetime import datetime, timedelta
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, 1, t0, 1.0),
+            (2, 1, t0 + timedelta(hours=12), 2.0),
+            (3, 1, t0 + timedelta(hours=24), 4.0),   # exactly -24h: in
+            (4, 1, t0 + timedelta(hours=36, microseconds=1), 8.0),
+            (5, 1, t0 + timedelta(hours=36, microseconds=1), None),  # tie
+            (6, 2, t0, 16.0),
+            (7, 2, None, 32.0),                       # NULL ts dropped
+        ]
+        got = {r.event_id: (r.n_window, r.sum_window)
+               for r in temporal.rolling_agg(
+                   spark.createDataFrame(
+                       rows, "event_id long, user_id long, ts timestamp,"
+                             " value double"),
+                   key_cols="user_id", ts_col="ts",
+                   window_seconds=86400, value_col="value").collect()}
+        # e3's frame includes e1 (inclusive lower bound at exactly -24h);
+        # e4/e5 share one RANGE frame (ties) whose lower bound 12h+1us
+        # excludes BOTH e1 and e2 (e2 sits exactly 1us too early)
+        assert got == {
+            1: (1, 1.0), 2: (2, 3.0), 3: (3, 7.0),
+            4: (3, 12.0), 5: (3, 12.0), 6: (1, 16.0)}
+        assert 7 not in got
+
+
+class TestPmiBigrams:
+    def test_counts_marginals_and_sign(self, spark):
+        import math
+
+        from generative_ner_spark.operators import tfidf
+
+        # "a b" x4 -> attracted pair; "a" and "c d" fillers
+        docs = [("a b",)] * 4 + [("a c",), ("c d",), ("c d",), ("x",)]
+        out = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in tfidf.pmi_bigrams(
+            spark.createDataFrame(docs, "text string"),
+            min_count=2).collect()}
+        # bigrams: (a,b)x4 (a,c)x1 (c,d)x2, N=7
+        assert set(out) == {("a", "b"), ("c", "d")}
+        n, pmi = out[("a", "b")]
+        assert n == 4
+        assert pmi == pytest.approx(round(math.log(4 * 7 / (5 * 4)), 6),
+                                    abs=2e-6)
+        # bigram-table positional marginals: n_first(c)=2 ("c d" x2;
+        # the "a c" occurrence is second-position), n_second(d)=2
+        assert out[("c", "d")][1] == pytest.approx(
+            round(math.log(2 * 7 / (2 * 2)), 6), abs=2e-6)
+        # single-token and empty docs contribute nothing (no crash)
+
+
+class TestFuzzyNameLink:
+    def test_best_match_blocking_and_tiebreak(self, spark):
+        from generative_ner_spark.operators import linking
+
+        catalog = spark.createDataFrame(
+            [(1, "acme corp"), (2, "acme core"), (3, "zeta"),
+             (4, "acme corp")],  # duplicate name, higher id
+            "entity_id long, name string")
+        mentions = spark.createDataFrame(
+            [(10, "Acme Corp"),    # dist 0 to ids 1,4 -> min id 1
+             (11, "acme cor"),     # dist 1 to corp(1)/core(2) -> id 1
+             (12, "beta"),         # dist 2 to zeta BUT prefix blocks it
+             (13, "zzzzzzz")],     # nothing within distance 2
+            "mention_id long, mention string")
+        got = {r.mention_id: (r.entity_id, r.distance)
+               for r in linking.fuzzy_name_link(
+                   mentions, catalog, max_distance=2).collect()}
+        assert got == {10: (1, 0), 11: (1, 1)}
+
+    def test_length_band_exact(self, spark):
+        from generative_ner_spark.operators import linking
+
+        catalog = spark.createDataFrame(
+            [(1, "abcdef")], "entity_id long, name string")
+        mentions = spark.createDataFrame(
+            [(1, "abcd"), (2, "abcdefgh"), (3, "abcdefg")],
+            "mention_id long, mention string")
+        got = {r.mention_id: r.distance for r in linking.fuzzy_name_link(
+            mentions, catalog, max_distance=2).collect()}
+        # len diffs 2/2/1 all pass the band; distances 2/2/1 all <= 2
+        assert got == {1: 2, 2: 2, 3: 1}
+
+
+class TestJaccardSetJoin:
+    def test_exact_pairs_vs_brute_force(self, spark):
+        import itertools
+        import math
+        import re
+        from collections import Counter
+
+        from generative_ner_spark.operators import dedup as dd
+
+        docs = [
+            (1, "a b c d e f"),
+            (2, "a b c d e x"),       # high overlap with 1
+            (3, "a b c d e f"),       # identical to 1
+            (4, "p q r s t u v"),
+            (5, "p q r s t u zz"),
+            (6, "one two"),           # < shingle_n tokens: dropped
+            (7, "completely different words here"),
+        ]
+        sets = {}
+        for did, t in docs:
+            tk = [x for x in re.split(r"\s+", t.lower()) if x]
+            if len(tk) >= 3:
+                sets[did] = {" ".join(tk[i:i + 3])
+                             for i in range(len(tk) - 2)}
+        exp = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            denom = len(sets[a]) + len(sets[b]) - i
+            if i and i / denom >= 0.5:
+                exp[(a, b)] = (i, round(i / denom, 6))
+        got = {(r.a, r.b): (r.n_common, r.jaccard)
+               for r in dd.jaccard_set_join(
+                   spark.createDataFrame(docs, "doc_id long, text string"),
+                   shingle_n=3, threshold=0.5).collect()}
+        assert set(got) == set(exp)
+        for k, (n_common, jac) in exp.items():
+            assert got[k][0] == n_common
+            assert got[k][1] == pytest.approx(jac, abs=2e-6)
+        assert (1, 3) in got and got[(1, 3)][1] == 1.0
+
+    def test_prefix_filter_lossless_on_boundary(self, spark):
+        # sets engineered so the qualifying pair's ONLY shared shingles
+        # sit mid-frequency: a buggy prefix length would drop the pair
+        from generative_ner_spark.operators import dedup as dd
+
+        docs = [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 zz"),
+                (3, "w1 w2 x y z q r s t u v w")]
+        got = {(r.a, r.b) for r in dd.jaccard_set_join(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            shingle_n=3, threshold=0.5).collect()}
+        # sets: d1={123,234,345}, d2={123,234,34z} -> inter 2, union 4,
+        # J=0.5 EXACTLY on the threshold boundary -> must be included
+        assert (1, 2) in got
+
+
+class TestGraphAnalyticsCli:
+    """jobs/graph_analytics.py — graph signals as a spark-submit job."""
+
+    def test_basket_input_all_stages(self, spark, tmp_path, capsys):
+        import jobs.graph_analytics as cli
+
+        src = str(tmp_path / "baskets")
+        spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        ).select("l_orderkey", "l_partkey").write.parquet(src)
+        seeds = str(tmp_path / "seeds")
+        spark.read.parquet(
+            "/root/testdata/sf0.001/part.parquet"
+        ).where("p_partkey % 97 = 0").selectExpr(
+            "p_partkey AS node").write.parquet(seeds)
+        out_dir = str(tmp_path / "out")
+        rc = cli.main([
+            "--baskets", src, "--basket-cols", "l_orderkey,l_partkey",
+            "--output", out_dir, "--pagerank", "--triangles",
+            "--khop-seeds", seeds, "--khop", "2",
+        ])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        m = json.loads([ln for ln in lines if ln.startswith("{")][-1])
+        assert m["n_edges"] > 0
+        # every part co-occurs with something at sf0.001 -> all ranked
+        assert m["pagerank_rows"] == 200
+        assert m["triangle_rows"] > 0
+        assert m["khop_rows"] >= 3  # at least the seeds themselves
+        pr = spark.read.parquet(f"{out_dir}/pagerank")
+        total = pr.agg(F.sum("pr")).first()[0]
+        assert abs(total - 1.0) < 1e-3  # round-6 per node, mass ~1
