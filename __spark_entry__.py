@@ -1212,6 +1212,80 @@ def q64_jaccard_set_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, shingle_n=3, threshold=0.5).orderBy("a", "b")
 
 
+def q65_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (graph.components) over the part
+    co-occurrence graph -> (node, component = min member id) — the
+    cluster primitive behind every fuzzy-dedup survivor pick, exposed on
+    the graph API. Alternating large-star/small-star (Kiveris et al.
+    SoCC'14), O(log n) rounds; the oracle is the recursive
+    transitive-closure CTE (min reachable id == component minimum)."""
+    from generative_ner_spark.operators import graph
+
+    return graph.components(
+        _part_coocc_edges(spark, sf_dir)).orderBy("node")
+
+
+def q66_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking (packing.chunk_documents): 32-token
+    chunks every 24 tokens (8-token overlap) over the documents corpus.
+    A pure narrow projection — tokenize, O(1)-depth start-offset
+    sequence, explode, slice; no shuffle, no UDF. The oracle replays
+    the identical list slicing in DuckDB."""
+    from generative_ner_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing.chunk_documents(
+        d, chunk_tokens=32, overlap=8).orderBy("doc_id", "chunk_id")
+
+
+def q67_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit (tfidf.zipf_slope): least-squares slope of
+    ln(freq) on ln(rank) over each language's top-500 terms — the
+    corpus-health gate (natural text ~ -1; boilerplate drifts flat).
+    ONE corpus-sized groupBy (term counts); the regression is a
+    vocabulary-sized window + closed-form aggregate, replayed verbatim
+    by the oracle (round-6 float contract)."""
+    from generative_ner_spark.operators import quality, tfidf
+
+    d = quality.lang_id(_t(spark, sf_dir, "documents"))
+    return tfidf.zipf_slope(
+        d, group_col="lang_pred", top_n=500, min_terms=10,
+    ).orderBy("lang_pred")
+
+
+def q68_decayed_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user activity (temporal.decayed_counts):
+    per-user event count + exponential-decay score (7-day half-life,
+    anchored at the corpus max timestamp — deterministic, never
+    wall-clock). ONE map-side-combined groupBy; the decay weight is
+    per-row codegen. Oracle replays the same max-ts CTE and
+    power(0.5, age/hl) arithmetic, round-6."""
+    from generative_ner_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return temporal.decayed_counts(
+        ev, key_cols="user_id", ts_col="ts", half_life_days=7.0,
+    ).orderBy("user_id")
+
+
+def q69_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walks (graph.random_walks): 2 walks
+    x 3 steps from every ~1%-sampled seed part over the co-occurrence
+    graph; the step choice is md5(salt:walk:step) mod degree over the
+    dst-sorted neighbor list, so the walks are byte-identical on any
+    engine/cluster size and the oracle replays them exactly (three
+    unrolled ranked-adjacency joins)."""
+    from generative_ner_spark.operators import graph
+
+    seeds = _t(spark, sf_dir, "part").where(
+        F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("node"))
+    return graph.random_walks(
+        _part_coocc_edges(spark, sf_dir), walk_len=3, walks_per_node=2,
+        seeds=seeds,
+    ).orderBy("walk_id", "step")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1334,6 +1408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_pmi_collocations": q62_pmi_collocations,
         "q63_fuzzy_name_link": q63_fuzzy_name_link,
         "q64_jaccard_set_join": q64_jaccard_set_join,
+        "q65_connected_components": q65_connected_components,
+        "q66_doc_chunks": q66_doc_chunks,
+        "q67_zipf_slope": q67_zipf_slope,
+        "q68_decayed_salience": q68_decayed_salience,
+        "q69_random_walks": q69_random_walks,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -2761,6 +2840,143 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_common AS DOUBLE)
                   / (na.n + nb.n - n_common) >= 0.5
             ORDER BY inter.a, inter.b""",
+        # q65: recursive transitive closure — min reachable id == the
+        # component minimum, exactly the alternating-star fixed point
+        "q65_connected_components": """
+            WITH RECURSIVE items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), reach(src, dst) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+            )
+            SELECT src AS node, MIN(dst) AS component
+            FROM reach GROUP BY src ORDER BY node""",
+        # q66: identical tokenizer (case-preserving), start offsets every
+        # step tokens, 1-based inclusive list slice
+        "q66_doc_chunks": r"""
+            WITH tk AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s / 24 AS INT) AS chunk_id,
+                   CAST(s AS INT) AS start_token,
+                   CAST(least(32, len(t) - s) AS INT) AS n_tokens,
+                   array_to_string(t[s + 1:s + 32], ' ') AS chunk_text
+            FROM tk, UNNEST(range(0, len(t), 24)) AS u(s)
+            WHERE len(t) > 0
+            ORDER BY doc_id, chunk_id""",
+        # q67: same lang-id, same (count desc, term asc) rank, same
+        # closed-form least-squares over ln(rank)/ln(freq), round-6
+        "q67_zipf_slope": f"""
+            WITH l AS ({_lang_id_sql(order_by=False)}),
+            toks AS (
+                SELECT l.lang_pred AS grp,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(d.text), '[ \\t\\n\\x0b\\f\\r]+'),
+                           x -> x != '')) AS term
+                FROM documents d JOIN l USING (doc_id)
+            ), counts AS (
+                SELECT grp, term, COUNT(*) AS cnt FROM toks
+                GROUP BY grp, term
+            ), ranked AS (
+                SELECT grp, cnt,
+                       ln(CAST(row_number() OVER (
+                           PARTITION BY grp
+                           ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS x,
+                       ln(CAST(cnt AS DOUBLE)) AS y,
+                       row_number() OVER (PARTITION BY grp
+                           ORDER BY cnt DESC, term ASC) AS rn
+                FROM counts
+            ), agg AS (
+                SELECT grp, COUNT(*) AS n_types, SUM(cnt) AS n_tokens,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * x) AS sxx, SUM(x * y) AS sxy
+                FROM ranked WHERE rn <= 500 GROUP BY grp
+            )
+            SELECT grp AS lang_pred, n_types, n_tokens,
+                   round((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx), 6) AS zipf_slope,
+                   round((sy * sxx - sx * sxy)
+                         / (n * sxx - sx * sx), 6) AS zipf_intercept
+            FROM agg WHERE n_types >= 10 ORDER BY lang_pred""",
+        # q68: same max-ts anchor and power(0.5, age_us/hl_us), round-6
+        "q68_decayed_salience": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS us FROM events
+                WHERE ts IS NOT NULL
+            ), ref AS (SELECT MAX(us) AS r FROM ev)
+            SELECT user_id, COUNT(*) AS n_events,
+                   round(SUM(power(0.5,
+                       CAST(ref.r - us AS DOUBLE)
+                       / (7.0 * 86400.0 * 1e6))), 6) AS decayed_score
+            FROM ev CROSS JOIN ref
+            GROUP BY user_id ORDER BY user_id""",
+        # q69: three unrolled steps over the dst-sorted ranked adjacency;
+        # the md5-60bit choice is engine-identical (the q39/q20 twin)
+        "q69_random_walks": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), adj AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY dst) - 1 AS rnk
+                FROM sym
+            ), deg AS (
+                SELECT src, COUNT(*) AS dg FROM sym GROUP BY src
+            ), seeds AS (
+                SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0
+            ), w0 AS (
+                SELECT node * 2 + w AS walk_id, node AS start_node,
+                       node AS cur
+                FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS w)
+            ), w1 AS (
+                SELECT w0.walk_id, w0.start_node, adj.dst AS cur
+                FROM w0 JOIN deg ON deg.src = w0.cur
+                JOIN adj ON adj.src = w0.cur
+                 AND adj.rnk = CAST('0x' || substring(md5(
+                     'walk:' || CAST(w0.walk_id AS VARCHAR) || ':1'),
+                     1, 15) AS BIGINT) % deg.dg
+            ), w2 AS (
+                SELECT w1.walk_id, w1.start_node, adj.dst AS cur
+                FROM w1 JOIN deg ON deg.src = w1.cur
+                JOIN adj ON adj.src = w1.cur
+                 AND adj.rnk = CAST('0x' || substring(md5(
+                     'walk:' || CAST(w1.walk_id AS VARCHAR) || ':2'),
+                     1, 15) AS BIGINT) % deg.dg
+            ), w3 AS (
+                SELECT w2.walk_id, w2.start_node, adj.dst AS cur
+                FROM w2 JOIN deg ON deg.src = w2.cur
+                JOIN adj ON adj.src = w2.cur
+                 AND adj.rnk = CAST('0x' || substring(md5(
+                     'walk:' || CAST(w2.walk_id AS VARCHAR) || ':3'),
+                     1, 15) AS BIGINT) % deg.dg
+            )
+            SELECT walk_id, start_node, 0 AS step, start_node AS node
+            FROM w0
+            UNION ALL SELECT walk_id, start_node, 1, cur FROM w1
+            UNION ALL SELECT walk_id, start_node, 2, cur FROM w2
+            UNION ALL SELECT walk_id, start_node, 3, cur FROM w3
+            ORDER BY walk_id, step""",
         "q29_ivf_topk": """
             -- the planted copies are the ONLY candidates at cosine 1.0
             -- (max random cosine ~0.33 << 1.0) and the probe finds them

@@ -75,6 +75,11 @@ HEADLINE = [
     "q62_pmi_collocations",
     "q63_fuzzy_name_link",
     "q64_jaccard_set_join",
+    "q65_connected_components",
+    "q66_doc_chunks",
+    "q67_zipf_slope",
+    "q68_decayed_salience",
+    "q69_random_walks",
     "kg_mention_counts",
     "kg_triples",
 ]

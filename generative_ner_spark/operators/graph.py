@@ -255,3 +255,109 @@ def khop_neighbors(
         frontier = nxt.select("node")
     adj.unpersist()
     return visited
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    seeds: DataFrame | None = None,
+    node_col: str = "node",
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic "random" walks over a canonical undirected edge
+    list -> ``(walk_id, start_node, step, node)``: ``walks_per_node``
+    walks of ``walk_len`` steps from every node (or from ``seeds``).
+    The DeepWalk/node2vec corpus generator — walk co-windows become
+    skip-gram training pairs — restated reproducibly: the neighbor
+    chosen at step ``i`` of walk ``w`` is
+
+        rank = md5_60bit(salt:w:i) mod degree(current)
+
+    over the current node's dst-sorted neighbor list. md5 is md5 on
+    every engine, so a fixed (edge list, salt) yields byte-identical
+    walks on any cluster size — and the q69 DuckDB oracle replays them
+    exactly. No RNG state, no driver loop over nodes.
+
+    Scale shape: the rank-annotated symmetric adjacency is built once
+    (one window over (src sorted-by dst) — per-node degree bound, hubs
+    are one partition's rows, not one row) and persisted. Each step is
+    two slim equi-joins: frontier x degree (to compute the mod) and
+    (src, rank) x adjacency (to fetch the neighbor) — never a per-walk
+    explode of a hub's neighbor list. Frontiers are localCheckpointed
+    per step; a walk from a degree-0 seed emits its start row only.
+    """
+    from pyspark.sql import Window
+
+    sym = _symmetric(edges)
+    wdeg = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        sym.withColumn("_rank", F.row_number().over(wdeg) - 1)
+        .repartition("src")
+        .persist()
+    )
+    deg = adj.groupBy(F.col("src").alias("_cur")).agg(
+        F.count("*").alias("_deg"))
+    start_nodes = (
+        seeds.select(F.col(node_col).alias("node")).distinct()
+        if seeds is not None
+        else sym.select(F.col("src").alias("node")).distinct()
+    )
+    walks = start_nodes.select(
+        "node",
+        F.explode(F.expr(f"sequence(0, {int(walks_per_node) - 1})"))
+        .alias("_w"),
+    ).select(
+        (F.col("node") * walks_per_node + F.col("_w")).alias("walk_id"),
+        F.col("node").alias("start_node"),
+    )
+    visited = walks.select(
+        "walk_id", "start_node", F.lit(0).alias("step"),
+        F.col("start_node").alias("node"),
+    ).localCheckpoint()
+    frontier = visited.select("walk_id", "start_node",
+                              F.col("node").alias("_cur"))
+    for i in range(1, walk_len + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.lit(salt), F.col("walk_id").cast("string"),
+                    F.lit(str(i)))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+        nxt = (
+            frontier.join(deg, "_cur")  # inner: degree-0 walks stop here
+            .withColumn("_rank", F.pmod(h, F.col("_deg")))
+            .join(adj.withColumnRenamed("src", "_cur"), ["_cur", "_rank"])
+            .select("walk_id", "start_node", F.lit(i).alias("step"),
+                    F.col("dst").alias("node"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("walk_id", "start_node",
+                              F.col("node").alias("_cur"))
+    adj.unpersist()
+    return visited
+
+
+def components(edges: DataFrame, max_iter: int = 20,
+               stats: dict | None = None) -> DataFrame:
+    """Connected components over a canonical undirected edge list ->
+    ``(node, component)`` with component = the minimum member id — the
+    dedup-cluster / community-seed primitive, exposed on the graph API.
+    Thin adapter over ``canonicalize.connected_components`` (alternating
+    large-star/small-star, Kiveris et al. SoCC'14: O(log n) rounds with
+    per-round localCheckpoint; small edge sets short-circuit to a
+    driver-side union-find). Nodes touching no edge emit no row.
+    """
+    from generative_ner_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    return connected_components(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        max_iter=max_iter, stats=stats,
+    ).select(F.col("id").alias("node"), "component")

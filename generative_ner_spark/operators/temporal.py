@@ -301,3 +301,52 @@ def rolling_agg(
             "sum_window",
             F.round(s, round_to) if round_to is not None else s)
     return out.drop("_us")
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str = "ts",
+    half_life_days: float = 30.0,
+    ref_ts=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Recency-weighted activity score per key -> ``(key..., n_events,
+    decayed_score)`` where each event contributes
+    ``0.5 ** (age / half_life)`` — exponential time decay, the standard
+    trending/salience aggregate ("which entities are hot NOW"): an event
+    one half-life old counts half as much as one from the reference
+    instant.
+
+    ``ref_ts`` (a timestamp-coercible literal) anchors the age; when
+    None it is the corpus max timestamp — computed as a one-row
+    aggregate so the operator stays deterministic for a fixed input
+    (never wall-clock). NULL timestamps are dropped.
+
+    Scale shape: ONE map-side-combined groupBy on the keys — the decay
+    weight is a per-row codegen expression (integer-µs age, all-DOUBLE
+    pow), partials combine like any sum, heavy-hitter keys are absorbed
+    map-side. The q68 DuckDB oracle replays the identical max-ts CTE
+    and ``power(0.5, age_us / hl_us)`` arithmetic, round-6 contract.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ev = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "_us", _micros(F.col(ts_col)))
+    if ref_ts is None:
+        ref_us = ev.agg(F.max("_us")).first()[0]
+        if ref_us is None:  # no non-NULL timestamps: empty result
+            return (ev.groupBy(*keys)
+                    .agg(F.count("*").cast("long").alias("n_events"),
+                         F.lit(0.0).alias("decayed_score"))
+                    .where(F.lit(False)))
+    else:
+        ref_us = df.sparkSession.range(1).select(
+            _micros(F.lit(ref_ts).cast("timestamp"))).first()[0]
+    hl_us = float(half_life_days) * 86400.0 * 1e6
+    w = F.pow(F.lit(0.5),
+              (F.lit(int(ref_us)) - F.col("_us")).cast("double")
+              / F.lit(hl_us))
+    return ev.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(w), round_to).alias("decayed_score"),
+    )

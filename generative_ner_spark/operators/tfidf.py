@@ -253,3 +253,75 @@ def pmi_bigrams(
     out = out.localCheckpoint()
     pairs.unpersist()
     return out
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    top_n: int = 1000,
+    min_terms: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-health statistics per group (or one global row when
+    ``group_col`` is None): least-squares slope/intercept of
+    ``ln(frequency)`` on ``ln(rank)`` over the ``top_n`` most frequent
+    terms, plus the type and token counts behind them ->
+    ``(group?, n_types, n_tokens, zipf_slope, zipf_intercept)``.
+    Natural language sits near slope -1 (Zipf's law); boilerplate/spam
+    shards drift toward 0 (flat: templated vocabulary reuse) or below
+    -1.5 (a few tokens dominating) — a standard quality gate for
+    pretraining shards. Groups with fewer than ``min_terms`` distinct
+    terms are dropped (a 2-point regression is noise).
+
+    Scale shape: corpus-sized data crosses ONE map-side-combined
+    groupBy (term counts); everything after is vocabulary-sized — a
+    rank window partitioned by group (capped at ``top_n`` rows per
+    group before the closed-form slope aggregate, so no group's
+    vocabulary ever sits whole on one reducer for the regression).
+    Ties rank deterministically by (count desc, term asc). Closed form:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), all-DOUBLE — the q67
+    DuckDB oracle replays the identical arithmetic, round-6 contract.
+    """
+    grp = (F.col(group_col) if group_col is not None
+           else F.lit("_all")).alias("grp")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+"),
+        lambda t: t != F.lit(""))
+    counts = (
+        df.select(grp, F.explode(toks).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "grp", "cnt",
+            F.log(F.col("rank").cast("double")).alias("_x"),
+            F.log(F.col("cnt").cast("double")).alias("_y"),
+        )
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("_x"), F.sum("_y")
+    sxx, sxy = F.sum(F.col("_x") * F.col("_x")), F.sum(F.col("_x") * F.col("_y"))
+    denom = n * sxx - sx * sx
+    out = (
+        ranked.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("cnt").alias("n_tokens"),
+            ((n * sxy - sx * sy) / denom).alias("_slope"),
+            ((sy * sxx - sx * sxy) / denom).alias("_icept"),
+        )
+        .where(F.col("n_types") >= min_terms)
+        .select(
+            "grp", "n_types", "n_tokens",
+            F.round("_slope", round_to).alias("zipf_slope"),
+            F.round("_icept", round_to).alias("zipf_intercept"),
+        )
+    )
+    if group_col is not None:
+        return out.withColumnRenamed("grp", group_col)
+    return out.select("n_types", "n_tokens", "zipf_slope", "zipf_intercept")

@@ -3932,3 +3932,189 @@ class TestGraphAnalyticsCli:
         pr = spark.read.parquet(f"{out_dir}/pagerank")
         total = pr.agg(F.sum("pr")).first()[0]
         assert abs(total - 1.0) < 1e-3  # round-6 per node, mass ~1
+
+
+class TestChunkDocuments:
+    def test_windows_overlap_and_short_docs(self, spark):
+        from generative_ner_spark.operators import packing
+
+        toks = [f"w{i}" for i in range(10)]
+        docs = [(1, " ".join(toks)),     # 10 tokens, chunk 4 step 3
+                (2, "only two"),          # single short chunk
+                (3, "   \t  "),           # whitespace-only: dropped
+                (4, "CaseKept")]          # case must survive
+        got = {(r.doc_id, r.chunk_id):
+               (r.start_token, r.n_tokens, r.chunk_text)
+               for r in packing.chunk_documents(
+                   spark.createDataFrame(docs, "doc_id long, text string"),
+                   chunk_tokens=4, overlap=1).collect()}
+        # starts every 3 tokens over 0..9: 0,3,6,9
+        assert {k: v for k, v in got.items() if k[0] == 1} == {
+            (1, 0): (0, 4, "w0 w1 w2 w3"),
+            (1, 1): (3, 4, "w3 w4 w5 w6"),
+            (1, 2): (6, 4, "w6 w7 w8 w9"),
+            (1, 3): (9, 1, "w9"),
+        }
+        assert got[(2, 0)] == (0, 2, "only two")
+        assert got[(4, 0)] == (0, 1, "CaseKept")
+        assert not any(k[0] == 3 for k in got)
+
+    def test_rejects_bad_overlap(self, spark):
+        from generative_ner_spark.operators import packing
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        for bad in (-1, 4, 5):
+            with pytest.raises(ValueError):
+                packing.chunk_documents(df, chunk_tokens=4, overlap=bad)
+
+    def test_no_exchange_plan(self, spark):
+        from generative_ner_spark.operators import packing
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = packing.chunk_documents(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestZipfSlope:
+    def test_matches_numpy_lstsq(self, spark):
+        import math
+        from collections import Counter
+
+        from generative_ner_spark.operators import tfidf
+
+        # deterministic zipf-ish corpus: term t_i appears ~100/(i+1) times
+        words = []
+        for i in range(30):
+            words += [f"t{i:02d}"] * (100 // (i + 1))
+        docs = [(i, " ".join(words[i::5])) for i in range(5)]
+        out = tfidf.zipf_slope(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            top_n=20, min_terms=5).collect()
+        assert len(out) == 1
+        row = out[0]
+        cnt = Counter(w for _, t in docs for w in t.split())
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        xs = [math.log(r + 1) for r in range(len(top))]
+        ys = [math.log(c) for _, c in top]
+        n = float(len(top))
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert row.n_types == 20
+        assert row.n_tokens == sum(c for _, c in top)
+        assert row.zipf_slope == pytest.approx(round(slope, 6), abs=2e-6)
+        assert -2.0 < row.zipf_slope < -0.3  # zipf-ish, not flat
+
+    def test_grouped_and_min_terms_gate(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        rows = ([("en", "the quick brown fox jumps over the lazy dog "
+                        "and runs far away today")] * 3
+                + [("xx", "tiny corpus")])  # < min_terms: dropped
+        out = tfidf.zipf_slope(
+            spark.createDataFrame(rows, "lang string, text string"),
+            group_col="lang", min_terms=5)
+        langs = {r.lang for r in out.collect()}
+        assert langs == {"en"}
+
+
+class TestDecayedCounts:
+    def test_half_life_arithmetic_and_null_ts(self, spark):
+        from datetime import datetime, timedelta
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 6, 1)
+        rows = [
+            (1, t0),                          # ref (max ts): weight 1
+            (1, t0 - timedelta(days=7)),      # one half-life: 0.5
+            (1, t0 - timedelta(days=14)),     # two: 0.25
+            (2, t0 - timedelta(days=7)),
+            (3, None),                        # dropped
+        ]
+        got = {r.user_id: (r.n_events, r.decayed_score)
+               for r in temporal.decayed_counts(
+                   spark.createDataFrame(rows, "user_id long, ts timestamp"),
+                   key_cols="user_id", ts_col="ts", half_life_days=7.0,
+               ).collect()}
+        assert got == {1: (3, 1.75), 2: (1, 0.5)}
+
+    def test_explicit_ref_ts(self, spark):
+        from datetime import datetime
+
+        from generative_ner_spark.operators import temporal
+
+        rows = [(1, datetime(2024, 1, 1))]
+        got = temporal.decayed_counts(
+            spark.createDataFrame(rows, "user_id long, ts timestamp"),
+            key_cols="user_id", half_life_days=1.0,
+            ref_ts="2024-01-02 00:00:00").first()
+        assert got.decayed_score == 0.5
+
+
+class TestRandomWalks:
+    @staticmethod
+    def _pure_walks(edges, seeds, walk_len, walks_per_node, salt="walk"):
+        import hashlib
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for s, d in edges:
+            adj[s].append(d)
+            adj[d].append(s)
+        for k in adj:
+            adj[k].sort()
+        out = []
+        for node in sorted(set(seeds)):
+            for w in range(walks_per_node):
+                wid = node * walks_per_node + w
+                cur = node
+                out.append((wid, node, 0, node))
+                for i in range(1, walk_len + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    h = int(hashlib.md5(
+                        f"{salt}:{wid}:{i}".encode()).hexdigest()[:15], 16)
+                    cur = nbrs[h % len(nbrs)]
+                    out.append((wid, node, i, cur))
+        return sorted(out)
+
+    def test_matches_pure_replay(self, spark):
+        from generative_ner_spark.operators import graph
+
+        edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame(
+            [(1,), (3,), (5,), (9,)], "node long")  # 9 isolated
+        got = sorted(
+            (r.walk_id, r.start_node, r.step, r.node)
+            for r in graph.random_walks(
+                e, walk_len=3, walks_per_node=2, seeds=seeds).collect())
+        assert got == self._pure_walks(
+            edges, [1, 3, 5, 9], walk_len=3, walks_per_node=2)
+        # isolated seed 9 contributes exactly its two step-0 rows
+        assert [r for r in got if r[1] == 9] == [
+            (18, 9, 0, 9), (19, 9, 0, 9)]
+
+    def test_default_seeds_every_node(self, spark):
+        from generative_ner_spark.operators import graph
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        out = graph.random_walks(e, walk_len=2, walks_per_node=1)
+        rows = out.collect()
+        assert {r.start_node for r in rows} == {1, 2}
+        # every walk on this connected pair completes all steps
+        assert sorted(r.step for r in rows if r.start_node == 1) == [0, 1, 2]
+
+
+class TestGraphComponents:
+    def test_two_components_min_label(self, spark):
+        from generative_ner_spark.operators import graph
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+        got = {r.node: r.component for r in graph.components(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
