@@ -1286,6 +1286,34 @@ def q69_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("walk_id", "step")
 
 
+def q70_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster audit report (dedup.fuzzy_dup_clusters): every
+    doc of the q31 salted corpus that sits in a MinHash-LSH near-dup
+    cluster, with its component id (= min member) and cluster size —
+    what a curation run logs for review before committing to a survivor
+    policy. Shares the q31 pair machinery (md5 family, lifted cap) so
+    the oracle replays pairs AND components (recursive CTE) and adds
+    the size aggregate."""
+    salted = _truncated_salted_docs(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("string"))
+    return dedup.fuzzy_dup_clusters(
+        salted, jaccard_threshold=0.8, max_bucket=1 << 30,
+        hash_family="md5",
+    ).orderBy("doc_id")
+
+
+def q71_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (graph.label_propagation): 3 synchronous
+    label-propagation rounds over the part co-occurrence graph, ties to
+    the smallest label — a pure function of (edges, n_iter), so the
+    oracle replays the identical unrolled argmax rounds. Per round: one
+    adjacency-vs-labels join + two map-side-combined aggregates."""
+    from generative_ner_spark.operators import graph
+
+    return graph.label_propagation(
+        _part_coocc_edges(spark, sf_dir), n_iter=3).orderBy("node")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1413,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_zipf_slope": q67_zipf_slope,
         "q68_decayed_salience": q68_decayed_salience,
         "q69_random_walks": q69_random_walks,
+        "q70_dup_clusters": q70_dup_clusters,
+        "q71_label_propagation": q71_label_propagation,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1565,6 +1595,33 @@ def _minhash_pairs_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
         WITH {parts['ctes']}
         SELECT a, b, round(jaccard, 4) AS jaccard FROM pairs
         ORDER BY a, b"""
+
+
+def _dup_clusters_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
+                      threshold: float = 0.8) -> str:
+    """q70 oracle: the q31 pair machinery + transitive-closure components,
+    then per-component sizes instead of the survivor filter — (doc_id,
+    component = min member, cluster_size)."""
+    parts = _minhash_sql_parts(k, bands, shingle_n, threshold)
+    return f"""
+        WITH RECURSIVE {parts['ctes']},
+        edges AS (
+            SELECT a AS id1, b AS id2 FROM pairs
+            UNION
+            SELECT b AS id1, a AS id2 FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT id1, id1 FROM edges
+            UNION
+            SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.dst = e.id1
+        ),
+        comp AS (SELECT src AS doc_id, min(dst) AS component
+                 FROM reach GROUP BY src),
+        sizes AS (SELECT component, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY component)
+        SELECT comp.doc_id, comp.component, sizes.cluster_size
+        FROM comp JOIN sizes USING (component)
+        ORDER BY comp.doc_id"""
 
 
 def _near_dedup_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
@@ -2977,6 +3034,56 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_node, 2, cur FROM w2
             UNION ALL SELECT walk_id, start_node, 3, cur FROM w3
             ORDER BY walk_id, step""",
+        # q70: q31's pair+component replay, sizes instead of survivors
+        "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
+                                              shingle_n=5, threshold=0.8),
+        # q71: three unrolled synchronous LPA rounds — argmax neighbor
+        # label by (count desc, label asc) via row_number
+        "q71_label_propagation": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), l0 AS (
+                SELECT DISTINCT src AS node, src AS label FROM sym
+            ), c1 AS (
+                SELECT sym.src AS node, l.label, COUNT(*) AS cnt
+                FROM sym JOIN l0 l ON l.node = sym.dst
+                GROUP BY sym.src, l.label
+            ), l1 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY cnt DESC, label ASC) AS rn FROM c1)
+                WHERE rn = 1
+            ), c2 AS (
+                SELECT sym.src AS node, l.label, COUNT(*) AS cnt
+                FROM sym JOIN l1 l ON l.node = sym.dst
+                GROUP BY sym.src, l.label
+            ), l2 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY cnt DESC, label ASC) AS rn FROM c2)
+                WHERE rn = 1
+            ), c3 AS (
+                SELECT sym.src AS node, l.label, COUNT(*) AS cnt
+                FROM sym JOIN l2 l ON l.node = sym.dst
+                GROUP BY sym.src, l.label
+            ), l3 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY cnt DESC, label ASC) AS rn FROM c3)
+                WHERE rn = 1
+            )
+            SELECT node, label FROM l3 ORDER BY node""",
         "q29_ivf_topk": """
             -- the planted copies are the ONLY candidates at cosine 1.0
             -- (max random cosine ~0.33 << 1.0) and the probe finds them

@@ -80,6 +80,8 @@ HEADLINE = [
     "q67_zipf_slope",
     "q68_decayed_salience",
     "q69_random_walks",
+    "q70_dup_clusters",
+    "q71_label_propagation",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -769,3 +769,46 @@ def jaccard_set_join(
     out = verified.localCheckpoint()
     sh.unpersist()
     return out
+
+
+def fuzzy_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 64,
+    hash_family: str = "xxhash64",
+    scheme: str = "kmin",
+) -> DataFrame:
+    """The audit/report twin of ``near_dedup_documents``: instead of
+    silently dropping near-duplicates, return ``(id_col, component,
+    cluster_size)`` for every document that sits in a near-dup cluster
+    (cluster = connected component of the MinHash-LSH pair graph,
+    component id = min member, size >= 2 by construction — singletons
+    produce no pair and no row). This is what a curation run logs and a
+    human reviews before committing to a survivor policy; the survivor
+    set of ``near_dedup_documents`` is exactly "drop every row here
+    with id != component".
+
+    Same scale shape as the dedup path (shared pair machinery: LSH
+    banding, hot-bucket cap, exact-Jaccard verify; CC alternating-star
+    with driver short-circuit); the size join is component-keyed and
+    component counts are map-side combined.
+    """
+    from generative_ner_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    pairs = near_duplicate_pairs_minhash(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+        hash_family=hash_family, scheme=scheme,
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias(id_col), "component", "cluster_size")

@@ -361,3 +361,45 @@ def components(edges: DataFrame, max_iter: int = 20,
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         max_iter=max_iter, stats=stats,
     ).select(F.col("id").alias("node"), "component")
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Semi-synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie-break -> ``(node, label)`` after exactly
+    ``n_iter`` synchronous rounds — the cheap community detector for
+    topic-grouping a co-occurrence graph. Labels start as node ids;
+    each round every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label. Classic async LPA is
+    run-order-dependent; fixing synchronous rounds + (count desc,
+    label asc) argmax makes the output a pure function of (edges,
+    n_iter) — reproducible on any cluster size, replayed exactly by
+    the q71 oracle's unrolled SQL.
+
+    Scale shape: per round, one join of the persisted src-partitioned
+    adjacency against the label frame and TWO map-side-combined
+    aggregates ((node, label) counts, then a max_by argmax per node) —
+    all keyed on uniform node/label ids; localCheckpoint per round
+    truncates lineage.
+    """
+    adj = _symmetric(edges).repartition("src").persist()
+    labels = (
+        adj.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        nbr = (
+            adj.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nbr.groupBy("node")
+            .agg(F.max_by(
+                "label",
+                F.struct(F.col("cnt"), (-F.col("label")).alias("_negl")),
+            ).alias("label"))
+            .localCheckpoint()
+        )
+    adj.unpersist()
+    return labels

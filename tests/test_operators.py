@@ -4118,3 +4118,59 @@ class TestGraphComponents:
             [(1, 2), (2, 3), (10, 11)], "src long, dst long")
         got = {r.node: r.component for r in graph.components(e).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _pure_lpa(edges, n_iter):
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(list)
+        for s, d in edges:
+            adj[s].append(d)
+            adj[d].append(s)
+        labels = {n: n for n in adj}
+        for _ in range(n_iter):
+            new = {}
+            for n in adj:
+                c = Counter(labels[m] for m in adj[n])
+                new[n] = min(
+                    lbl for lbl, k in c.items()
+                    if k == max(c.values()))
+            labels = new
+        return labels
+
+    def test_matches_pure_replay_and_tiebreak(self, spark):
+        from generative_ner_spark.operators import graph
+
+        # two triangles bridged by one edge + a separate pair
+        edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6),
+                 (3, 4), (10, 11)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.label
+               for r in graph.label_propagation(e, n_iter=3).collect()}
+        assert got == self._pure_lpa(edges, 3)
+        # the separate pair swaps labels each round; after odd rounds
+        # each holds the other's id (pure determinism, no damping)
+        assert got[10] == 11 and got[11] == 10
+
+
+class TestFuzzyDupClusters:
+    def test_report_matches_dedup_survivors(self, spark):
+        from generative_ner_spark.operators import dedup as dd
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+        docs = [(0, base), (1, base + " phi"), (2, base + " chi"),
+                (3, "completely different words here nothing shared "
+                    "with the others at all in any way whatsoever")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rep = {r.doc_id: (r.component, r.cluster_size)
+               for r in dd.fuzzy_dup_clusters(
+                   df, jaccard_threshold=0.5, shingle_n=3).collect()}
+        # 0/1/2 form one cluster of 3 with min-id component; 3 absent
+        assert rep == {0: (0, 3), 1: (0, 3), 2: (0, 3)}
+        surv = {r.doc_id for r in dd.near_dedup_documents(
+            df, jaccard_threshold=0.5, shingle_n=3).collect()}
+        # survivor policy == "keep id == component" applied to the report
+        assert surv == {3} | {d for d, (c, _) in rep.items() if d == c}
