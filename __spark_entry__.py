@@ -2930,7 +2930,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s AS INT) AS start_token,
                    CAST(least(32, len(t) - s) AS INT) AS n_tokens,
                    array_to_string(t[s + 1:s + 32], ' ') AS chunk_text
-            FROM tk, UNNEST(range(0, len(t), 24)) AS u(s)
+            FROM tk, UNNEST(range(0, greatest(len(t) - 8, 1), 24)) AS u(s)
             WHERE len(t) > 0
             ORDER BY doc_id, chunk_id""",
         # q67: same lang-id, same (count desc, term asc) rank, same
@@ -3003,8 +3003,9 @@ def oracle_sql() -> dict[str, str]:
             ), seeds AS (
                 SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0
             ), w0 AS (
-                SELECT node * 2 + w AS walk_id, node AS start_node,
-                       node AS cur
+                SELECT CAST(node AS VARCHAR) || ':'
+                       || CAST(w AS VARCHAR) AS walk_id,
+                       node AS start_node, node AS cur
                 FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS w)
             ), w1 AS (
                 SELECT w0.walk_id, w0.start_node, adj.dst AS cur

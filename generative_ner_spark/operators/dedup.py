@@ -738,8 +738,14 @@ def jaccard_set_join(
             wdoc.orderBy("_df", "tok")))
         .withColumn("_n", F.count("*").over(wdoc))
     )
+    # ceil over double t*n can land one too HIGH when the double rep of
+    # t exceeds its decimal (ceil(0.55*100) = 56), shortening the prefix
+    # below what losslessness requires; nudging down by 1e-9 restores the
+    # exact-integer case and can only LENGTHEN the prefix otherwise
+    # (more candidates — never fewer, so never lossy)
     prefix = ranked.where(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1)
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - F.lit(1e-9)) + 1)
     cand = (
         prefix.select("tok", F.col("_id").alias("a"),
                       F.col("_n").alias("na"))

@@ -61,8 +61,12 @@ def cooccurrence_edges(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     ).distinct()
     if max_basket is not None:
-        counts = items.groupBy("_bk").agg(F.count("*").alias("_bc"))
-        counts = counts.persist()
+        # localCheckpoint, not persist: eager, shared by the metrics agg
+        # and the cap join, and released by GC when this frame drops out
+        # of scope — a persist here would leak cache for the session
+        # (no unpersist point exists after the lazy cap join)
+        counts = items.groupBy("_bk").agg(
+            F.count("*").alias("_bc")).localCheckpoint()
         if metrics is not None:
             over = (
                 counts.where(F.col("_bc") > max_basket)
@@ -133,6 +137,10 @@ def pagerank(
         .persist()
     )
     n = deg.count()  # also materializes deg (and seeds adj's build)
+    if n == 0:  # empty graph: empty (node, degree, pr) frame, no 1/0
+        deg.unpersist()
+        adj.unpersist()
+        return deg.withColumn("pr", F.lit(0.0)).where(F.lit(False))
     ranks = deg.select(
         "node", (F.lit(1.0) / F.lit(float(n))).alias("pr")
     ).localCheckpoint()
@@ -303,12 +311,16 @@ def random_walks(
         if seeds is not None
         else sym.select(F.col("src").alias("node")).distinct()
     )
+    # walk_id is a STRING key ("node:w"): node * walks_per_node + w
+    # would be an ANSI long multiply that THROWS on hash-derived ids
+    # near the 64-bit range (the CLAUDE.md overflow gotcha)
     walks = start_nodes.select(
         "node",
         F.explode(F.expr(f"sequence(0, {int(walks_per_node) - 1})"))
         .alias("_w"),
     ).select(
-        (F.col("node") * walks_per_node + F.col("_w")).alias("walk_id"),
+        F.concat_ws(":", F.col("node").cast("string"),
+                    F.col("_w").cast("string")).alias("walk_id"),
         F.col("node").alias("start_node"),
     )
     visited = walks.select(

@@ -110,9 +110,13 @@ def chunk_documents(
     Scale shape: a pure narrow projection — tokenize, build the start
     offsets with an O(1)-depth ``sequence``, explode, slice. No shuffle,
     no UDF; a 100 TB corpus chunks at parquet-scan speed and the output
-    stays partitioned exactly like the input. Chunk count per doc is
-    ceil(max(n - overlap, 1) / step) via ``sequence(0, n-1, step)``, so
-    a doc shorter than ``chunk_tokens`` yields exactly one chunk.
+    stays partitioned exactly like the input. Start offsets run over
+    ``sequence(0, max(n - overlap - 1, 0), step)`` — the upper bound
+    stops BEFORE a start whose chunk would sit entirely inside the
+    previous one (a tail <= overlap is already covered), while the last
+    emitted start s satisfies s + chunk_tokens >= n, so every token is
+    covered exactly by ceil(max(n - overlap, 1) / step) chunks and a
+    doc shorter than ``chunk_tokens`` yields exactly one chunk.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -126,7 +130,8 @@ def chunk_documents(
         .select(
             id_col, "_tk",
             F.posexplode(
-                F.expr(f"sequence(0, size(_tk) - 1, {int(step)})")
+                F.expr(f"sequence(0, greatest(size(_tk) - {int(overlap)}"
+                       f" - 1, 0), {int(step)})")
             ).alias("chunk_id", "start_token"),
         )
         .select(

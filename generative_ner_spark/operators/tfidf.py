@@ -234,6 +234,9 @@ def pmi_bigrams(
         .persist()
     )
     total = pairs.agg(F.sum("n_pair")).first()[0]
+    if total is None:  # no doc has two tokens: empty result frame
+        pairs.unpersist()
+        return pairs.withColumn("pmi", F.lit(0.0)).where(F.lit(False))
     first = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
     second = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_second"))
     out = (

@@ -3948,12 +3948,12 @@ class TestChunkDocuments:
                for r in packing.chunk_documents(
                    spark.createDataFrame(docs, "doc_id long, text string"),
                    chunk_tokens=4, overlap=1).collect()}
-        # starts every 3 tokens over 0..9: 0,3,6,9
+        # starts every 3 tokens bounded by n-overlap-1=8: 0,3,6 — the
+        # start-9 chunk ("w9") would sit entirely inside chunk 2
         assert {k: v for k, v in got.items() if k[0] == 1} == {
             (1, 0): (0, 4, "w0 w1 w2 w3"),
             (1, 1): (3, 4, "w3 w4 w5 w6"),
             (1, 2): (6, 4, "w6 w7 w8 w9"),
-            (1, 3): (9, 1, "w9"),
         }
         assert got[(2, 0)] == (0, 2, "only two")
         assert got[(4, 0)] == (0, 1, "CaseKept")
@@ -4069,7 +4069,7 @@ class TestRandomWalks:
         out = []
         for node in sorted(set(seeds)):
             for w in range(walks_per_node):
-                wid = node * walks_per_node + w
+                wid = f"{node}:{w}"
                 cur = node
                 out.append((wid, node, 0, node))
                 for i in range(1, walk_len + 1):
@@ -4097,7 +4097,7 @@ class TestRandomWalks:
             edges, [1, 3, 5, 9], walk_len=3, walks_per_node=2)
         # isolated seed 9 contributes exactly its two step-0 rows
         assert [r for r in got if r[1] == 9] == [
-            (18, 9, 0, 9), (19, 9, 0, 9)]
+            ("9:0", 9, 0, 9), ("9:1", 9, 0, 9)]
 
     def test_default_seeds_every_node(self, spark):
         from generative_ner_spark.operators import graph
@@ -4174,3 +4174,32 @@ class TestFuzzyDupClusters:
             df, jaccard_threshold=0.5, shingle_n=3).collect()}
         # survivor policy == "keep id == component" applied to the report
         assert surv == {3} | {d for d, (c, _) in rep.items() if d == c}
+
+
+class TestReviewRegressionsR5:
+    def test_ppjoin_lossless_at_float_hostile_threshold(self, spark):
+        # threshold 0.55 is not exactly representable: double(0.55)*100
+        # = 55.000000000000004, so an unguarded ceil() shortens the
+        # prefix by one and drops this exactly-at-threshold pair
+        from generative_ner_spark.operators import dedup as dd
+
+        shared = [f"s{i:02d}" for i in range(55)]
+        only_a = [f"a{i:02d}" for i in range(45)]
+        docs = [(1, " ".join(only_a + shared)),   # 100 distinct unigrams
+                (2, " ".join(shared))]            # 55, all contained
+        got = dd.jaccard_set_join(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            shingle_n=1, threshold=0.55).collect()
+        assert [(r.a, r.b, r.n_common, r.jaccard)
+                for r in got] == [(1, 2, 55, 0.55)]
+
+    def test_pagerank_and_pmi_empty_inputs(self, spark):
+        from generative_ner_spark.operators import graph, tfidf
+
+        empty_edges = spark.createDataFrame([], "src long, dst long")
+        pr = graph.pagerank(empty_edges, n_iter=2)
+        assert pr.columns == ["node", "degree", "pr"] and pr.isEmpty()
+        one_tok = spark.createDataFrame([("solo",), ("",)], "text string")
+        pmi = tfidf.pmi_bigrams(one_tok, min_count=1)
+        assert pmi.columns == ["w1", "w2", "n_pair", "pmi"]
+        assert pmi.isEmpty()
