@@ -1314,6 +1314,24 @@ def q71_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part_coocc_edges(spark, sf_dir), n_iter=3).orderBy("node")
 
 
+def q72_group_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative quality gate (quality.
+    filter_by_group_quantile): keep each language's docs at or above
+    its OWN median token count — the CCNet-style per-group threshold an
+    absolute cutoff can't express. ONE map-side-combined threshold agg
+    broadcast back; the boundary is cross-engine exact because the
+    interpolated quantile is either an order statistic or strictly
+    between two (see operator docstring)."""
+    from generative_ner_spark.operators import quality
+
+    d = quality.lang_id(_t(spark, sf_dir, "documents"))
+    d = d.select("doc_id", "lang_pred",
+                 quality.token_count_col("text").alias("n_tok"))
+    return quality.filter_by_group_quantile(
+        d, group_col="lang_pred", value_col="n_tok", prob=0.5,
+    ).select("doc_id", "lang_pred", "n_tok").orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1443,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_random_walks": q69_random_walks,
         "q70_dup_clusters": q70_dup_clusters,
         "q71_label_propagation": q71_label_propagation,
+        "q72_group_quantile_gate": q72_group_quantile_gate,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -3035,6 +3054,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, start_node, 2, cur FROM w2
             UNION ALL SELECT walk_id, start_node, 3, cur FROM w3
             ORDER BY walk_id, step""",
+        # q72: same lang-id + whitespace token count; per-group
+        # quantile_cont(0.5) as a window aggregate, same >= boundary
+        "q72_group_quantile_gate": f"""
+            WITH l AS ({_lang_id_sql(order_by=False)}),
+            d AS (
+                SELECT doc_id, l.lang_pred, {_WS_TOKENS_SQL} AS n_tok
+                FROM documents JOIN l USING (doc_id)
+            ), t AS (
+                SELECT doc_id, lang_pred, n_tok,
+                       quantile_cont(n_tok, 0.5) OVER (
+                           PARTITION BY lang_pred) AS thr
+                FROM d
+            )
+            SELECT doc_id, lang_pred, n_tok FROM t
+            WHERE n_tok >= thr ORDER BY doc_id""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

@@ -82,6 +82,7 @@ HEADLINE = [
     "q69_random_walks",
     "q70_dup_clusters",
     "q71_label_propagation",
+    "q72_group_quantile_gate",
     "kg_mention_counts",
     "kg_triples",
 ]

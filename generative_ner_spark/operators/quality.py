@@ -630,3 +630,47 @@ def weighted_sample(
         .where(F.col("_rn") <= n)
         .drop("_rn", "_es")
     )
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    prob: float = 0.5,
+    keep: str = "above",
+    exact: bool = True,
+    accuracy: int = 10000,
+    broadcast_thresholds: bool = True,
+) -> DataFrame:
+    """Relative per-group gating: keep rows whose ``value_col`` is >=
+    (``keep="above"``) or <= (``keep="below"``) their OWN group's
+    ``prob``-quantile — the CCNet-style per-language threshold ("keep
+    each language's better half"), which an absolute global cutoff
+    can't express (it would empty low-resource groups).
+
+    Scale shape: ONE map-side-combined groupBy computes the per-group
+    threshold (group-count-sized output, broadcast back by default;
+    ``exact=False`` switches to the mergeable approx_percentile sketch
+    for huge groups). The filter itself is a codegen comparison.
+
+    Cross-engine exactness of the boundary (why q72 can hash-match):
+    linear interpolation lands either ON an order statistic (frac 0, or
+    equal neighbors — computed exactly as that value in any engine) or
+    STRICTLY BETWEEN two consecutive order statistics, where no row
+    value can sit; so the >=/<= comparison never depends on float
+    rounding of the interpolation.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    agg = (
+        F.percentile(F.col(value_col), F.lit(float(prob)))
+        if exact
+        else F.percentile_approx(F.col(value_col), F.lit(float(prob)),
+                                 F.lit(accuracy))
+    )
+    thr = df.groupBy(group_col).agg(agg.alias("_thr"))
+    if broadcast_thresholds:
+        thr = F.broadcast(thr)
+    cond = (F.col(value_col) >= F.col("_thr") if keep == "above"
+            else F.col(value_col) <= F.col("_thr"))
+    return df.join(thr, group_col).where(cond).drop("_thr")

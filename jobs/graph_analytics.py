@@ -8,6 +8,9 @@ signal tables downstream curation consumes:
   pagerank/   (node, degree, pr)       entity salience
   triangles/  (node, n_triangles)      local clustering
   khop/       (node, hop)              seed-expansion neighborhoods
+  components/ (node, component)        dedup/cluster ids
+  communities/(node, label)            label-propagation communities
+  walks/      (walk_id, start_node, step, node)  DeepWalk corpus
   _metrics.json                        row counts + parameters
 
     ./scripts/make_pyfiles.sh
@@ -47,6 +50,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--khop-seeds", default=None,
                     help="parquet dir with a (node) seed table")
     ap.add_argument("--khop", type=int, default=3)
+    ap.add_argument("--components", action="store_true")
+    ap.add_argument("--communities", action="store_true",
+                    help="label-propagation communities")
+    ap.add_argument("--lpa-iterations", type=int, default=3)
+    ap.add_argument("--walks", type=int, default=0,
+                    help="random walks per node (0 = off)")
+    ap.add_argument("--walk-len", type=int, default=4)
+    ap.add_argument("--walk-salt", default="walk")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -90,6 +101,23 @@ def main(argv: list[str] | None = None) -> int:
             edges, seeds, k=args.khop, node_col=seeds.columns[0]
         ).write.mode("overwrite").parquet(out)
         metrics["khop_rows"] = spark.read.parquet(out).count()
+    if args.components:
+        out = os.path.join(args.output, "components")
+        graph.components(edges).write.mode("overwrite").parquet(out)
+        metrics["component_rows"] = spark.read.parquet(out).count()
+    if args.communities:
+        out = os.path.join(args.output, "communities")
+        graph.label_propagation(
+            edges, n_iter=args.lpa_iterations
+        ).write.mode("overwrite").parquet(out)
+        metrics["community_rows"] = spark.read.parquet(out).count()
+    if args.walks > 0:
+        out = os.path.join(args.output, "walks")
+        graph.random_walks(
+            edges, walk_len=args.walk_len, walks_per_node=args.walks,
+            salt=args.walk_salt,
+        ).write.mode("overwrite").parquet(out)
+        metrics["walk_rows"] = spark.read.parquet(out).count()
 
     edges.unpersist()
     os.makedirs(args.output, exist_ok=True)

@@ -3920,6 +3920,8 @@ class TestGraphAnalyticsCli:
             "--baskets", src, "--basket-cols", "l_orderkey,l_partkey",
             "--output", out_dir, "--pagerank", "--triangles",
             "--khop-seeds", seeds, "--khop", "2",
+            "--components", "--communities", "--walks", "1",
+            "--walk-len", "2",
         ])
         assert rc == 0
         lines = capsys.readouterr().out.strip().splitlines()
@@ -3929,9 +3931,18 @@ class TestGraphAnalyticsCli:
         assert m["pagerank_rows"] == 200
         assert m["triangle_rows"] > 0
         assert m["khop_rows"] >= 3  # at least the seeds themselves
+        assert m["component_rows"] == 200
+        assert m["community_rows"] == 200
+        # 1 walk x 2 steps per node, fully connected enough to complete
+        assert m["walk_rows"] >= 200
         pr = spark.read.parquet(f"{out_dir}/pagerank")
         total = pr.agg(F.sum("pr")).first()[0]
         assert abs(total - 1.0) < 1e-3  # round-6 per node, mass ~1
+        comp = spark.read.parquet(f"{out_dir}/components")
+        assert comp.columns == ["node", "component"]
+        walks = spark.read.parquet(f"{out_dir}/walks")
+        assert set(walks.columns) == {"walk_id", "start_node", "step",
+                                      "node"}
 
 
 class TestChunkDocuments:
@@ -4203,3 +4214,31 @@ class TestReviewRegressionsR5:
         pmi = tfidf.pmi_bigrams(one_tok, min_count=1)
         assert pmi.columns == ["w1", "w2", "n_pair", "pmi"]
         assert pmi.isEmpty()
+
+
+class TestGroupQuantileGate:
+    def test_keep_above_and_below_median(self, spark):
+        from generative_ner_spark.operators import quality
+
+        rows = [("en", 1, 10.0), ("en", 2, 20.0), ("en", 3, 30.0),
+                ("de", 4, 5.0), ("de", 5, 50.0)]
+        df = spark.createDataFrame(rows, "lang string, id long, v double")
+        above = {r.id for r in quality.filter_by_group_quantile(
+            df, "lang", "v", prob=0.5, keep="above").collect()}
+        # en median 20 (exact order stat: 2 and 3 survive);
+        # de median 27.5 (between stats: only 50 survives)
+        assert above == {2, 3, 5}
+        below = {r.id for r in quality.filter_by_group_quantile(
+            df, "lang", "v", prob=0.5, keep="below").collect()}
+        assert below == {1, 2, 4}
+        with pytest.raises(ValueError):
+            quality.filter_by_group_quantile(df, "lang", "v", keep="mid")
+
+    def test_broadcast_threshold_plan(self, spark):
+        from generative_ner_spark.operators import quality
+
+        df = spark.createDataFrame(
+            [("en", 1, 1.0)], "lang string, id long, v double")
+        plan = quality.filter_by_group_quantile(
+            df, "lang", "v")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
