@@ -1332,6 +1332,19 @@ def q72_group_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "n_tok").orderBy("doc_id")
 
 
+def q73_approx_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION approximate global triangle count (graph.
+    triangle_count_approx): md5-coin edge sampling at p=0.5 (the same
+    subgraph on every engine/run — sampling noise is a property of the
+    input, not the run), exact count on the sample, scale by 1/p^3.
+    Cuts the dominant wedge-join work ~p^2 = 4x; the oracle replays the
+    identical coin, orientation, wedge-close and scaling."""
+    from generative_ner_spark.operators import graph
+
+    return graph.triangle_count_approx(
+        _part_coocc_edges(spark, sf_dir), p=0.5)
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1462,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_dup_clusters": q70_dup_clusters,
         "q71_label_propagation": q71_label_propagation,
         "q72_group_quantile_gate": q72_group_quantile_gate,
+        "q73_approx_triangles": q73_approx_triangles,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -3069,6 +3083,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang_pred, n_tok FROM t
             WHERE n_tok >= thr ORDER BY doc_id""",
+        # q73: identical md5 coin (< p * 2^60), then the q59 orientation
+        # + wedge-close on the SAMPLED subgraph, global count / p^3
+        "q73_approx_triangles": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ), alledges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), edges AS (
+                SELECT s, d FROM alledges
+                WHERE CAST('0x' || substring(md5(
+                    'tri:' || CAST(s AS VARCHAR) || ':'
+                    || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+                    < 576460752303423488
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, COUNT(*) AS degree FROM sym
+                GROUP BY src
+            ), oriented AS (
+                SELECT sym.src, sym.dst FROM sym
+                JOIN deg ds ON ds.node = sym.src
+                JOIN deg dd ON dd.node = sym.dst
+                WHERE ds.degree < dd.degree
+                   OR (ds.degree = dd.degree AND sym.src < sym.dst)
+            ), tri AS (
+                SELECT COUNT(*) AS t
+                FROM oriented o1
+                JOIN oriented o2 ON o1.src = o2.src
+                               AND o1.dst < o2.dst
+                JOIN edges e ON e.s = o1.dst AND e.d = o2.dst
+            )
+            SELECT (SELECT COUNT(*) FROM edges) AS n_edges_sampled,
+                   tri.t AS n_triangles_sampled,
+                   round(CAST(tri.t AS DOUBLE) / 0.125, 6)
+                       AS est_triangles
+            FROM tri""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

@@ -83,6 +83,7 @@ HEADLINE = [
     "q70_dup_clusters",
     "q71_label_propagation",
     "q72_group_quantile_gate",
+    "q73_approx_triangles",
     "kg_mention_counts",
     "kg_triples",
 ]

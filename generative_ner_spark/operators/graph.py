@@ -415,3 +415,52 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
     adj.unpersist()
     return labels
+
+
+def triangle_count_approx(
+    edges: DataFrame,
+    p: float = 0.5,
+    salt: str = "tri",
+) -> DataFrame:
+    """DOULION-style approximate GLOBAL triangle count (Tsourakakis et
+    al. KDD'09): keep each edge independently with probability ``p``,
+    count triangles exactly on the sampled subgraph, scale by 1/p^3 ->
+    one row ``(n_edges_sampled, n_triangles_sampled, est_triangles)``.
+    The scale path when the exact per-node count (``triangle_counts``)
+    is too expensive: sampling at p cuts the dominant wedge-join work by
+    ~p^2 while the estimator stays unbiased with relative error
+    O(1/sqrt(p^3 * T)).
+
+    "Random" but reproducible: the coin for edge (src, dst) is the
+    md5-60bit hash of ``salt:src:dst`` against ``p * 2^60`` — the same
+    subgraph is sampled on every run, engine, and cluster size, so the
+    q73 DuckDB oracle replays the estimate EXACTLY (sampling noise is a
+    property of (edges, salt), not of the run).
+    """
+    if not 0 < p <= 1:
+        raise ValueError("need 0 < p <= 1")
+    cut = int(p * float(1 << 60))
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt),
+                              F.col("src").cast("string"),
+                              F.col("dst").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    sampled = edges.select("src", "dst").where(coin < cut).persist()
+    tri = triangle_counts(sampled)
+    n_tri = tri.agg(
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("s")
+    ).select((F.col("s") / 3).cast("long").alias("t"))  # 3 credits/triangle
+    out = sampled.agg(F.count("*").alias("n_edges_sampled")).crossJoin(
+        n_tri
+    ).select(
+        "n_edges_sampled",
+        F.col("t").alias("n_triangles_sampled"),
+        F.round(F.col("t") / F.lit(float(p) ** 3), 6)
+        .alias("est_triangles"),
+    )
+    out = out.localCheckpoint()
+    sampled.unpersist()
+    return out

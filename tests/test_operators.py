@@ -7,6 +7,8 @@ import json
 import math
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from generative_ner_spark.functions import textops
@@ -4242,3 +4244,73 @@ class TestGroupQuantileGate:
         plan = quality.filter_by_group_quantile(
             df, "lang", "v")._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class TestApproxTriangles:
+    def test_matches_pure_replay_and_exact_at_p1(self, spark):
+        import hashlib
+        import itertools
+
+        from generative_ner_spark.operators import graph
+
+        # K5 (10 edges, 10 triangles) + a pendant edge
+        nodes = [1, 2, 3, 4, 5]
+        edges = list(itertools.combinations(nodes, 2)) + [(5, 9)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        row = graph.triangle_count_approx(e, p=1.0).first()
+        assert (row.n_edges_sampled, row.n_triangles_sampled,
+                row.est_triangles) == (11, 10, 10.0)
+
+        def coin(s, d, salt="tri"):
+            h = int(hashlib.md5(
+                f"{salt}:{s}:{d}".encode()).hexdigest()[:15], 16)
+            return h < (1 << 59)
+
+        kept = [ed for ed in edges if coin(*ed)]
+        adj = set(kept) | {(b, a) for a, b in kept}
+        tri = sum(1 for a, b, c in itertools.combinations(nodes + [9], 3)
+                  if (a, b) in adj and (b, c) in adj and (a, c) in adj)
+        got = graph.triangle_count_approx(e, p=0.5).first()
+        assert got.n_edges_sampled == len(kept)
+        assert got.n_triangles_sampled == tri
+        assert got.est_triangles == pytest.approx(tri / 0.125)
+        with pytest.raises(ValueError):
+            graph.triangle_count_approx(e, p=0.0)
+
+
+class TestChunkDocumentsProperties:
+    @given(
+        n_tok=st.integers(min_value=0, max_value=40),
+        chunk=st.integers(min_value=2, max_value=12),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_coverage_order_and_overlap_invariants(
+            self, spark, n_tok, chunk, overlap_frac):
+        from generative_ner_spark.operators import packing
+
+        overlap = int(overlap_frac * (chunk - 1))
+        toks = [f"t{i}" for i in range(n_tok)]
+        df = spark.createDataFrame([(1, " ".join(toks))],
+                                   "doc_id long, text string")
+        rows = sorted(
+            packing.chunk_documents(
+                df, chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r.chunk_id)
+        if n_tok == 0:
+            assert rows == []
+            return
+        step = chunk - overlap
+        # starts advance by exactly step; chunk ids are dense from 0
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert [r.start_token for r in rows] == [
+            i * step for i in range(len(rows))]
+        # every token covered, in order, exactly matching the source
+        assert rows[-1].start_token + rows[-1].n_tokens == n_tok
+        rebuilt = rows[0].chunk_text.split()
+        for r in rows[1:]:
+            rebuilt += r.chunk_text.split()[overlap:]
+        assert rebuilt == toks
+        # no chunk is contained in its predecessor; all non-final full
+        for r in rows[:-1]:
+            assert r.n_tokens == chunk
