@@ -1345,6 +1345,148 @@ def q73_approx_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part_coocc_edges(spark, sf_dir), p=0.5)
 
 
+def q74_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot merge (temporal.merge_changelog — Iceberg MERGE INTO
+    semantics): the snapshot is each user's latest (value, event_type)
+    before 2024-01-15; the changelog is every event from then on, with
+    'error' events as deletes. Latest change wins (ties by event_id),
+    deleted keys disappear, untouched keys keep their snapshot row —
+    ONE window exchange, no join. The oracle replays the identical
+    union + row_number election."""
+    from pyspark.sql import Window
+
+    from generative_ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    snap = (
+        e.where(F.col("ts") < cutoff)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "value", "event_type")
+    )
+    chg = e.where(F.col("ts") >= cutoff).select(
+        "user_id", "value", "event_type", "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    return temporal.merge_changelog(
+        snap, chg, "user_id", ts_col="ts", op_col="op", seq_col="event_id",
+    ).orderBy("user_id")
+
+
+def q75_triple_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-predicate conflict resolution (triples.
+    resolve_conflicts): every order asserts (customer,
+    has_order_status, status); the majority status wins per customer
+    (ties: smaller status), with the competing-value count as the
+    audit column. One slim groupBy + one slim window."""
+    from generative_ner_spark.operators import triples as T
+
+    o = _t(spark, sf_dir, "orders")
+    tr = o.select(
+        F.col("o_custkey").alias("subj_id"),
+        F.lit("has_order_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj_id"),
+    )
+    return T.resolve_conflicts(tr).orderBy("subj_id")
+
+
+def q76_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology range-constraint check (triples.constraint_violations):
+    orders assert has_order_status and has_priority triples; the
+    constraint table admits only {F, O} statuses and the three urgent
+    priority grades, so 'P' orders and low priorities surface in the
+    violation report. Broadcast semi/anti joins + one slim groupBy."""
+    from generative_ner_spark.operators import triples as T
+
+    o = _t(spark, sf_dir, "orders")
+    tr = o.select(
+        F.col("o_custkey").alias("subj_id"),
+        F.lit("has_order_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj_id"),
+    ).unionByName(o.select(
+        F.col("o_custkey").alias("subj_id"),
+        F.lit("has_priority").alias("pred"),
+        F.col("o_orderpriority").alias("obj_id"),
+    ))
+    allowed = spark.createDataFrame(
+        [("has_order_status", "F"), ("has_order_status", "O"),
+         ("has_priority", "1-URGENT"), ("has_priority", "2-HIGH"),
+         ("has_priority", "3-MEDIUM")],
+        "pred string, obj_id string",
+    )
+    return T.constraint_violations(tr, allowed).orderBy("pred", "obj_id")
+
+
+def q77_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (dedup.remove_boilerplate_lines —
+    the CCNet/RefinedWeb line filter): docs are built with a banner
+    line in EVERY doc, a footer in half, and a within-doc duplicated
+    content line in every third. Lines in >= 10 distinct docs vanish
+    from ALL docs (unlike q41's first-wins policy) and within-doc
+    repeats keep only their first occurrence; rebuild preserves
+    order."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = F.expr("substring(text, 1, 60)")
+    s2 = F.expr("substring(text, 61, 60)")
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_BOILER[0]),
+            s1,
+            F.when(F.col("doc_id") % 3 == 0, s1).otherwise(s2),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_BOILER[1])),
+        ).alias("text"),
+    )
+    return dedup.remove_boilerplate_lines(m, min_docs=10).orderBy("doc_id")
+
+
+def q78_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (quality.
+    hashed_quality_score — the fastText-style filter shape): md5-
+    indexed integer micro-weights, document score = mean token weight,
+    keep = score >= 0. ZERO shuffle, one codegen projection; integer
+    accumulation makes the mean float-exact across engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality.hashed_quality_score(d, threshold=0.0).select(
+        "doc_id", "quality_score", "keep").orderBy("doc_id")
+
+
+def q79_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL snapshot dedup (urls.canonical_url_col +
+    dedup_by_canonical_url): four crawl-variant spellings per page
+    (www + trailing slash / bare / userinfo + query / port + fragment)
+    collapse onto one canonical key; the longest document per key
+    survives (ties: smallest doc_id), URL-less docs always survive.
+    Slim winner election, losers-only anti-join."""
+    from generative_ner_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    g = (F.col("doc_id") % 37).cast("string")
+    p = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit("https://www.example"), g, F.lit(".com/item/"), p,
+            F.lit("/")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(
+            F.lit("https://example"), g, F.lit(".com/item/"), p))
+        .when(F.col("doc_id") % 4 == 2, F.concat(
+            F.lit("https://user:pw@example"), g, F.lit(".com/item/"), p,
+            F.lit("?utm=1")))
+        .otherwise(F.concat(
+            F.lit("https://example"), g, F.lit(".com:8080/item/"), p,
+            F.lit("#f")))
+    )
+    docs = d.select("doc_id", url.alias("url"), "n_chars")
+    return urls.dedup_by_canonical_url(
+        docs, quality_col="n_chars",
+    ).select("doc_id", "canonical_url").orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1476,6 +1618,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_label_propagation": q71_label_propagation,
         "q72_group_quantile_gate": q72_group_quantile_gate,
         "q73_approx_triangles": q73_approx_triangles,
+        "q74_snapshot_merge": q74_snapshot_merge,
+        "q75_triple_conflicts": q75_triple_conflicts,
+        "q76_constraint_violations": q76_constraint_violations,
+        "q77_boilerplate_lines": q77_boilerplate_lines,
+        "q78_hashed_quality": q78_hashed_quality,
+        "q79_url_dedup": q79_url_dedup,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -2005,6 +2153,46 @@ def _paragraph_dedup_sql() -> str:
         SELECT doc_id,
                string_agg(para, chr(10) ORDER BY idx) AS text
         FROM ranked WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _boilerplate_lines_sql(min_docs: int = 10) -> str:
+    """q77 oracle: replay the line construction (banner in every doc,
+    footer in half, within-doc duplicate content line in every third),
+    within-doc first-occurrence election, >= min_docs boilerplate
+    exclusion, and the ordered rebuild."""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   '{_BOILER[0]}' || chr(10) ||
+                   substring(text, 1, 60) || chr(10) ||
+                   CASE WHEN doc_id % 3 = 0 THEN substring(text, 1, 60)
+                        ELSE substring(text, 61, 60) END ||
+                   CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || '{_BOILER[1]}' ELSE '' END AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i - 1 AS idx, tk[i] AS line
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk))) AS i
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS tk
+                        FROM docs))
+            WHERE tk[i] != ''
+        ),
+        first_in_doc AS (
+            SELECT doc_id, idx, line, md5(line) AS lh,
+                   row_number() OVER (PARTITION BY doc_id, md5(line)
+                       ORDER BY idx) AS rn
+            FROM lines
+        ),
+        boiler AS (
+            SELECT md5(line) AS lh FROM lines
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        FROM first_in_doc
+        WHERE rn = 1 AND lh NOT IN (SELECT lh FROM boiler)
         GROUP BY doc_id ORDER BY doc_id"""
 
 
@@ -3123,6 +3311,145 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(tri.t AS DOUBLE) / 0.125, 6)
                        AS est_triangles
             FROM tri""",
+        # q74: replay the union + latest-wins window election; snapshot
+        # rows carry a NULL ts and sort after every change (NULLS LAST)
+        "q74_snapshot_merge": """
+            WITH snap AS (
+                SELECT user_id, value, event_type FROM (
+                    SELECT user_id, value, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events WHERE ts < TIMESTAMP '2024-01-15')
+                WHERE rn = 1
+            ), chg AS (
+                SELECT user_id, value, event_type, ts,
+                       event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete'
+                            ELSE 'upsert' END AS op
+                FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+            ), unioned AS (
+                SELECT user_id, value, event_type,
+                       CAST(NULL AS TIMESTAMP) AS ts,
+                       CAST(-1 AS BIGINT) AS seq, 'upsert' AS op
+                FROM snap
+                UNION ALL
+                SELECT user_id, value, event_type, ts, seq, op FROM chg
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC NULLS LAST, seq DESC) AS rn
+                FROM unioned
+            )
+            SELECT user_id, value, event_type FROM ranked
+            WHERE rn = 1 AND op != 'delete' ORDER BY user_id""",
+        # q75: majority obj per (subj, pred), ties smaller obj; the
+        # distinct-candidate count rides the same window partition
+        "q75_triple_conflicts": """
+            WITH agg AS (
+                SELECT o_custkey AS subj_id,
+                       'has_order_status' AS pred,
+                       o_orderstatus AS obj_id,
+                       round(CAST(count(*) AS DOUBLE), 6) AS support
+                FROM orders GROUP BY 1, 2, 3
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY subj_id, pred
+                           ORDER BY support DESC, obj_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY subj_id, pred)
+                           AS n_candidates
+                FROM agg
+            )
+            SELECT subj_id, pred, obj_id, support, n_candidates
+            FROM ranked WHERE rn = 1 ORDER BY subj_id""",
+        # q76: constrained-pred semi-join + allowed-pair anti-join,
+        # then the per-(pred, obj) violation report
+        "q76_constraint_violations": """
+            WITH tr AS (
+                SELECT o_custkey AS subj_id,
+                       'has_order_status' AS pred,
+                       o_orderstatus AS obj_id FROM orders
+                UNION ALL
+                SELECT o_custkey, 'has_priority', o_orderpriority
+                FROM orders
+            ), allowed AS (
+                SELECT * FROM (VALUES
+                    ('has_order_status', 'F'), ('has_order_status', 'O'),
+                    ('has_priority', '1-URGENT'),
+                    ('has_priority', '2-HIGH'),
+                    ('has_priority', '3-MEDIUM')) t(pred, obj_id)
+            )
+            SELECT pred, obj_id, count(*) AS n_violations,
+                   count(DISTINCT subj_id) AS n_subjects
+            FROM tr
+            WHERE pred IN (SELECT pred FROM allowed)
+              AND NOT EXISTS (SELECT 1 FROM allowed a
+                              WHERE a.pred = tr.pred
+                                AND a.obj_id = tr.obj_id)
+            GROUP BY pred, obj_id ORDER BY pred, obj_id""",
+        # q77: replay line construction (concat_ws skips the NULL
+        # footer), within-doc first-occurrence rn, >=10-doc
+        # boilerplate exclusion, ordered rebuild
+        "q77_boilerplate_lines": _boilerplate_lines_sql(min_docs=10),
+        # q78: identical md5 integer micro-weights over the identical
+        # token array; exact long sum, then the same two float ops
+        "q78_hashed_quality": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS toks
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) > 0 THEN
+                           round((list_sum(list_transform(toks, t ->
+                               CAST('0x' || substring(md5('qw:' || t),
+                                    1, 15) AS BIGINT)
+                               % 1000000 - 500000))
+                             / 1000000.0) / len(toks), 6)
+                       END AS quality_score
+                FROM tok
+            )
+            SELECT doc_id, quality_score,
+                   coalesce(quality_score >= 0.0, false) AS keep
+            FROM scored ORDER BY doc_id""",
+        # q79: replay the four crawl-variant spellings + the
+        # scheme/host/path canonicalization regexes + best-wins window
+        "q79_url_dedup": """
+            WITH docs AS (
+                SELECT doc_id, n_chars,
+                       CASE CAST(doc_id % 4 AS INTEGER)
+                           WHEN 0 THEN 'https://www.example'
+                               || (doc_id % 37) || '.com/item/'
+                               || (doc_id % 7) || '/'
+                           WHEN 1 THEN 'https://example'
+                               || (doc_id % 37) || '.com/item/'
+                               || (doc_id % 7)
+                           WHEN 2 THEN 'https://user:pw@example'
+                               || (doc_id % 37) || '.com/item/'
+                               || (doc_id % 7) || '?utm=1'
+                           ELSE 'https://example' || (doc_id % 37)
+                               || '.com:8080/item/' || (doc_id % 7)
+                               || '#f'
+                       END AS url
+                FROM documents
+            ), canon AS (
+                SELECT doc_id, n_chars,
+                       lower(regexp_extract(url, '^(https?)://', 1))
+                       || '://'
+                       || regexp_replace(lower(regexp_extract(url,
+                              'https?://(?:[^/ \\t\\n\\x0b\\f\\r@]*@)?([^/ \\t\\n\\x0b\\f\\r:?#@]+)',
+                              1)), '^www\\.', '')
+                       || regexp_replace(regexp_extract(url,
+                              '^https?://[^/?#]*(/[^?#]*)?', 1),
+                              '/+$', '') AS canonical_url
+                FROM docs
+            ), ranked AS (
+                SELECT doc_id, canonical_url,
+                       row_number() OVER (PARTITION BY canonical_url
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM canon
+            )
+            SELECT doc_id, canonical_url FROM ranked
+            WHERE rn = 1 ORDER BY doc_id""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

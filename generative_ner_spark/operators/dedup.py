@@ -304,6 +304,71 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     return rebuilt.select(F.col("id").alias(id_col), text_col)
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal, the CCNet/RefinedWeb line-filter
+    pass that dedup_paragraphs does NOT express: a line occurring in at
+    least ``min_docs`` DISTINCT documents (cookie banners, nav menus,
+    copyright footers) is boilerplate and is removed from EVERY document
+    — including its first occurrence, unlike dedup_paragraphs'
+    first-wins policy — and repeated lines WITHIN one document keep only
+    their first occurrence. Documents are rebuilt from surviving lines
+    in original order; documents made of pure boilerplate disappear.
+
+    Scale shape — line text crosses exactly ONE exchange (the
+    dedup_paragraphs shape): line election runs on a TEXT-FREE (id,
+    idx, lh) projection — the doc-frequency groupBy keys on the line
+    hash with map-side combine (the boilerplate hot keys are exactly
+    the ones partial aggregation absorbs), the within-doc first-
+    occurrence window keys on (id, lh), and the surviving line indexes
+    fold into ONE slim array row per doc. That (id, _keep) frame joins
+    the text side on id alone, leaving the joined output co-partitioned
+    with the per-doc rebuild groupBy. Fully SQL-expressible => full
+    q77 oracle.
+    """
+    sep_pat = "\\Q" + sep + "\\E"  # same literal-separator quoting as
+    # dedup_paragraphs: an unquoted regex metachar would shred the corpus
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep_pat)).alias("idx", "line"),
+    ).where(F.col("line") != "")
+    hashed = lines.select("id", "idx", F.md5("line").alias("lh"))
+    boiler = (
+        hashed.groupBy("lh")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("lh")
+    )
+    w = Window.partitionBy("id", "lh").orderBy("idx")
+    keep = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .join(boiler, "lh", "left_anti")
+        .groupBy("id")
+        .agg(F.collect_set("idx").alias("_keep"))
+    )
+    kept = (
+        lines.join(keep, "id")
+        .where(F.array_contains("_keep", F.col("idx")))
+        .select("id", "idx", "line")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    return rebuilt.select(F.col("id").alias(id_col), text_col)
+
+
 def ngram_jaccard_pairs(
     candidates: DataFrame,
     docs: DataFrame,

@@ -78,6 +78,92 @@ def materialize_triples(linked_mentions: DataFrame) -> DataFrame:
     )
 
 
+def resolve_conflicts(
+    triples: DataFrame,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    weight_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Majority-vote resolution for FUNCTIONAL predicates: a KG asserts
+    at most one object per (subject, predicate) for predicates like
+    birth_date or headquarters, but an extraction run emits every
+    mention's claim — conflicting objects must be resolved before
+    materialization. Per (subj, pred) keep the object with the most
+    supporting assertions (sum of ``weight_col`` when given, else row
+    count); ties break on the smaller object id so the winner is a pure
+    function of the input. Output: (subj, pred, obj, support,
+    n_candidates) — ``n_candidates`` (distinct objects claimed) is the
+    audit column a curation run thresholds on ("drop facts with > 3
+    competing values").
+
+    Scale shape: ONE map-side-combined groupBy on (subj, pred, obj) —
+    the mention-level fan-in, where partial aggregation absorbs
+    hub-entity skew — then a window over the already-slim (subj, pred)
+    groups (ids + one double only; the candidate count per group is the
+    distinct-object count, orders of magnitude below mention count).
+    Fully SQL-expressible => full q75 oracle.
+    """
+    support = (F.sum(F.col(weight_col)) if weight_col
+               else F.count(F.lit(1)).cast("double"))
+    agg = triples.groupBy(subj_col, pred_col, obj_col).agg(
+        F.round(support, round_to).alias("support"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(subj_col, pred_col)
+    ranked = agg.withColumn(
+        "_rn",
+        F.row_number().over(
+            w.orderBy(F.col("support").desc(), F.col(obj_col).asc())),
+    ).withColumn("n_candidates", F.count(F.lit(1)).over(w))
+    return (
+        ranked.where(F.col("_rn") == 1)
+        .select(subj_col, pred_col, obj_col, "support", "n_candidates")
+    )
+
+
+def constraint_violations(
+    triples: DataFrame,
+    allowed: DataFrame,
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    subj_col: str = "subj_id",
+) -> DataFrame:
+    """Ontology range-constraint check: ``allowed`` is the (pred, obj)
+    domain table — for each constrained predicate, the complete set of
+    admissible objects (e.g. instance_of -> the ontology's type
+    vocabulary). Returns the violation report the KG QA gate reads:
+    one row per offending (pred, obj) value with ``n_violations``
+    (assertion count) and ``n_subjects`` (distinct subjects affected).
+    Predicates absent from ``allowed`` are unconstrained and never
+    reported.
+
+    Scale shape: the constraint table is ontology-sized (thousands of
+    rows — always broadcastable), so both the "is this predicate
+    constrained" semi-join and the "is this object admissible"
+    anti-join are broadcast map-side passes; the only shuffle is the
+    final map-side-combined groupBy on (pred, obj) — a low-cardinality
+    report key where partial aggregation absorbs the skew of a common
+    violation. Fully SQL-expressible => full q76 oracle.
+    """
+    allowed_slim = allowed.select(
+        F.col(pred_col).alias("_c_pred"), F.col(obj_col).alias("_c_obj"))
+    constrained = allowed_slim.select(
+        F.col("_c_pred").alias(pred_col)).distinct()
+    in_scope = triples.join(F.broadcast(constrained), pred_col, "left_semi")
+    bad = in_scope.join(
+        F.broadcast(allowed_slim),
+        (F.col(pred_col) == F.col("_c_pred"))
+        & (F.col(obj_col) == F.col("_c_obj")),
+        "left_anti",
+    )
+    return bad.groupBy(pred_col, obj_col).agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.countDistinct(subj_col).alias("n_subjects"),
+    )
+
+
 def write_triples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Partitioned sink: parquet partitionBy(pred) (Iceberg-shaped layout)."""
     (

@@ -91,3 +91,75 @@ def filter_blocklisted_domains(
         .dropDuplicates([id_col])
     )
     return df.join(bad, id_col, "left_anti")
+
+
+# canonicalization patterns (Java-regex/RE2 common subset, like the rest
+# of this module): scheme, host (userinfo dropped, port stopped at ':'),
+# then the path up to any query/fragment
+_SCHEME_PAT = r"^(https?)://"
+_PATH_PAT = r"^https?://[^/?#]*(/[^?#]*)?"
+
+
+def canonical_url_col(url_col: str = "url"):
+    """Canonical form of a URL column — the key C4/CommonCrawl pipelines
+    dedup page snapshots on, where the same page is re-crawled as
+    ``http://www.Site.com/a/?utm=x#frag`` and ``https://site.com/a``:
+
+    * scheme + host lowercased; path case PRESERVED (case-significant
+      on most servers);
+    * userinfo (``user:pass@``) and port dropped from the authority;
+    * a leading ``www.`` dropped from the host;
+    * query string and fragment stripped; trailing slashes stripped.
+
+    Pure codegen (three regexp_extracts + concat), engine-portable
+    regexes => the q79 oracle replays it byte-for-byte. NULL/non-URL
+    input canonicalizes to NULL (callers treat those docs as keyless).
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_PAT, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, DOMAIN_PAT, 1)), r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(u, _PATH_PAT, 1), r"/+$", "")
+    return F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, path),
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """URL-level snapshot dedup: keep exactly ONE document per canonical
+    URL — the highest ``quality_col`` (ties and the no-quality default:
+    smallest ``id_col``), the standard "best snapshot wins" crawl-
+    curation policy. Documents whose URL fails to canonicalize (NULL /
+    non-URL) carry no key and are kept unconditionally. Output: the
+    surviving rows of ``df`` plus the ``canonical_url`` column.
+
+    Scale shape: winner election runs on a SLIM (id, canonical_url,
+    quality) projection — one keyed window on the canonical URL (high-
+    cardinality key; the hottest key = the most re-crawled page, same
+    skew profile as any per-key window) — and emits only the LOSER ids.
+    Losers are the duplicate fraction of the corpus (the small side by
+    construction at real scale), so the final left_anti against the
+    full rows broadcasts or stays a slim shuffle; document payloads
+    cross at most that one anti-join exchange.
+    """
+    out = df.withColumn("canonical_url", canonical_url_col(url_col))
+    q = (F.col(quality_col) if quality_col else F.lit(0)).alias("_q")
+    slim = out.where(F.col("canonical_url").isNotNull()).select(
+        F.col(id_col), F.col("canonical_url"), q)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc())
+    losers = (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(id_col)
+    )
+    return out.join(losers, id_col, "left_anti")

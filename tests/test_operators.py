@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 
 from generative_ner_spark.functions import textops
 from generative_ner_spark.operators import (
-    batchapi, cost, dedup, demos, detect, linking, llm, multimodal, similarity,
-    syncgen,
+    batchapi, cost, dedup, demos, detect, linking, llm, multimodal, quality,
+    similarity, syncgen,
 )
 from generative_ner_spark.sources import conll, corpus
 from generative_ner_spark.sources.synth import LABELS2NAMES, SynthConfig
@@ -4314,3 +4314,253 @@ class TestChunkDocumentsProperties:
         # no chunk is contained in its predecessor; all non-final full
         for r in rows[:-1]:
             assert r.n_tokens == chunk
+
+
+class TestMergeChangelog:
+    """temporal.merge_changelog — CDC latest-wins snapshot merge."""
+
+    def _merge(self, spark, snap_rows, chg_rows, **kw):
+        from generative_ner_spark.operators import temporal
+
+        snap = spark.createDataFrame(
+            snap_rows, "k long, v string")
+        chg = spark.createDataFrame(
+            chg_rows, "k long, v string, ts timestamp, seq long, op string")
+        return {
+            r.k: r.v
+            for r in temporal.merge_changelog(
+                snap, chg, "k", ts_col="ts", op_col="op", seq_col="seq",
+                **kw).collect()
+        }
+
+    def test_upsert_delete_insert_untouched(self, spark):
+        from datetime import datetime
+
+        t1, t2 = datetime(2024, 1, 2), datetime(2024, 1, 3)
+        out = self._merge(
+            spark,
+            [(1, "a"), (2, "b"), (9, "keep")],
+            [
+                (2, "b2", t1, 1, "upsert"),     # update existing key
+                (1, None, t2, 2, "delete"),      # delete existing key
+                (3, "c", t1, 3, "upsert"),       # brand-new key
+            ],
+        )
+        assert out == {2: "b2", 3: "c", 9: "keep"}
+
+    def test_latest_change_wins_and_ts_tie_breaks_by_seq(self, spark):
+        from datetime import datetime
+
+        t1, t2 = datetime(2024, 1, 2), datetime(2024, 1, 3)
+        out = self._merge(
+            spark,
+            [],
+            [
+                # delete then LATER upsert: key lives
+                (1, "x", t1, 1, "delete"), (1, "y", t2, 2, "upsert"),
+                # upsert then LATER delete: key dies
+                (2, "x", t1, 1, "upsert"), (2, None, t2, 2, "delete"),
+                # equal ts: higher seq wins
+                (3, "lo", t1, 1, "upsert"), (3, "hi", t1, 2, "upsert"),
+            ],
+        )
+        assert out == {1: "y", 3: "hi"}
+
+    def test_null_ts_changes_dropped_and_empty_changelog_identity(
+            self, spark):
+        out = self._merge(
+            spark, [(1, "a")], [(1, "ghost", None, 9, "delete")])
+        assert out == {1: "a"}  # unordered change can't affect the key
+        assert self._merge(spark, [(1, "a"), (2, "b")], []) == \
+            {1: "a", 2: "b"}
+
+    def test_single_exchange_plan(self, spark):
+        """Winner election is ONE window on the key: exactly one
+        Exchange in the whole plan (the at-scale contract)."""
+        from datetime import datetime
+
+        from generative_ner_spark.operators import temporal
+
+        snap = spark.createDataFrame(
+            [(i, "s") for i in range(50)], "k long, v string")
+        chg = spark.createDataFrame(
+            [(i, "c", datetime(2024, 1, 2), i, "upsert")
+             for i in range(0, 50, 2)],
+            "k long, v string, ts timestamp, seq long, op string")
+        out = temporal.merge_changelog(
+            snap, chg, "k", ts_col="ts", op_col="op", seq_col="seq")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestResolveConflicts:
+    """triples.resolve_conflicts — functional-predicate majority vote."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj_id string, pred string, obj_id string")
+
+    def test_majority_wins_tie_smaller_obj(self, spark):
+        from generative_ner_spark.operators import triples as T
+
+        rows = (
+            [("s1", "born_in", "tokyo")] * 3
+            + [("s1", "born_in", "osaka")] * 2
+            + [("s2", "born_in", "b"), ("s2", "born_in", "a")]  # 1-1 tie
+        )
+        out = {(r.subj_id, r.pred): r
+               for r in T.resolve_conflicts(self._df(spark, rows)).collect()}
+        assert out[("s1", "born_in")].obj_id == "tokyo"
+        assert out[("s1", "born_in")].support == 3.0
+        assert out[("s1", "born_in")].n_candidates == 2
+        assert out[("s2", "born_in")].obj_id == "a"  # tie -> smaller obj
+
+    def test_weighted_support_overrides_counts(self, spark):
+        from generative_ner_spark.operators import triples as T
+
+        df = spark.createDataFrame(
+            [("s", "p", "many_weak", 0.1), ("s", "p", "many_weak", 0.1),
+             ("s", "p", "one_strong", 0.9)],
+            "subj_id string, pred string, obj_id string, conf double")
+        out = T.resolve_conflicts(df, weight_col="conf").collect()
+        assert len(out) == 1 and out[0].obj_id == "one_strong"
+        assert out[0].support == 0.9 and out[0].n_candidates == 2
+
+
+class TestConstraintViolations:
+    def test_only_constrained_preds_report(self, spark):
+        from generative_ner_spark.operators import triples as T
+
+        tr = spark.createDataFrame(
+            [("s1", "status", "BAD"), ("s2", "status", "BAD"),
+             ("s1", "status", "OK"), ("s1", "free_pred", "anything")],
+            "subj_id string, pred string, obj_id string")
+        allowed = spark.createDataFrame(
+            [("status", "OK")], "pred string, obj_id string")
+        out = T.constraint_violations(tr, allowed).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.pred, r.obj_id, r.n_violations, r.n_subjects) == \
+            ("status", "BAD", 2, 2)
+
+    def test_clean_kg_reports_nothing(self, spark):
+        from generative_ner_spark.operators import triples as T
+
+        tr = spark.createDataFrame(
+            [("s", "status", "OK")], "subj_id string, pred string, obj_id string")
+        allowed = spark.createDataFrame(
+            [("status", "OK")], "pred string, obj_id string")
+        assert T.constraint_violations(tr, allowed).count() == 0
+
+
+class TestRemoveBoilerplateLines:
+    def test_boilerplate_removed_everywhere_unlike_first_wins(self, spark):
+        rows = [(i, f"banner\ncontent {i}\nfooter") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in
+               dedup.remove_boilerplate_lines(df, min_docs=5).collect()}
+        # banner/footer occur in 10 >= 5 docs: gone from EVERY doc —
+        # including the first occurrence dedup_paragraphs would keep
+        assert out == {i: f"content {i}" for i in range(10)}
+
+    def test_within_doc_repeat_keeps_first_and_pure_boiler_vanishes(
+            self, spark):
+        rows = [(1, "same\nunique a\nsame"),   # within-doc repeat
+                (2, "other\nother\nunique b"),
+                (3, "shared\nshared2"), (4, "shared\nshared2"),
+                (5, "shared\nshared2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in
+               dedup.remove_boilerplate_lines(df, min_docs=3).collect()}
+        # 'same'/'other' repeat only WITHIN one doc (< 3 docs): first
+        # occurrence survives; docs 3-5 are pure >=3-doc boilerplate
+        assert out == {1: "same\nunique a", 2: "other\nunique b"}
+
+    def test_single_text_exchange(self, spark):
+        """Line text must cross exactly ONE Exchange (the rebuild id
+        join); all election exchanges carry only (id, idx, lh)."""
+        rows = [(i, f"banner\ncontent {i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.remove_boilerplate_lines(df, min_docs=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # 'line' (the exploded text column) appears in at most one
+        # Exchange's input chain: check no SortMergeJoin ships it and
+        # the plan count of exchanges stays bounded (slim elections +
+        # one text join + final agg)
+        assert plan.count("Exchange") <= 6
+        got = {r.doc_id: r.text for r in out.collect()}
+        assert got == {i: f"content {i}" for i in range(20)}
+
+
+class TestHashedQualityScore:
+    def test_deterministic_bounded_and_permutation_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+             (3, "alpha beta gamma")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               quality.hashed_quality_score(df).collect()}
+        assert out[1].quality_score == out[2].quality_score  # mean: order-free
+        assert out[1].quality_score == out[3].quality_score  # deterministic
+        assert -0.5 <= out[1].quality_score < 0.5
+
+    def test_empty_text_scores_null_keep_false(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "words here")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               quality.hashed_quality_score(df).collect()}
+        assert out[1].quality_score is None and out[1].keep is False
+        assert out[2].quality_score is None and out[2].keep is False
+        assert out[3].quality_score is not None
+
+    def test_threshold_gates_keep(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"token{i} token{i * 7 + 1} token{i * 13 + 2}")
+             for i in range(100)],
+            "doc_id long, text string")
+        lo = quality.hashed_quality_score(df, threshold=-1.0)
+        hi = quality.hashed_quality_score(df, threshold=0.51)
+        assert all(r.keep for r in lo.collect())
+        assert not any(r.keep for r in hi.collect())
+
+    def test_zero_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string")
+        out = quality.hashed_quality_score(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestCanonicalUrlDedup:
+    def test_canonicalization_rules(self, spark):
+        from generative_ner_spark.operators import urls
+
+        cases = [
+            (1, "https://www.Example.com/A/b/?q=1#f"),
+            (2, "https://example.com/A/b"),
+            (3, "http://user:pw@EXAMPLE.com:8080/A/b/"),
+            (4, "https://example.com/a/B"),   # path case differs: distinct
+            (5, "not a url at all"),
+        ]
+        df = spark.createDataFrame(cases, "doc_id long, url string")
+        got = {r.doc_id: r.c for r in df.select(
+            "doc_id", urls.canonical_url_col("url").alias("c")).collect()}
+        assert got[1] == "https://example.com/A/b"
+        assert got[2] == "https://example.com/A/b"
+        assert got[3] == "http://example.com/A/b"  # scheme preserved
+        assert got[4] == "https://example.com/a/B"  # path case-sensitive
+        assert got[5] is None
+
+    def test_best_quality_wins_urlless_always_kept(self, spark):
+        from generative_ner_spark.operators import urls
+
+        df = spark.createDataFrame(
+            [(1, "https://www.site.com/p/", 10),
+             (2, "https://site.com/p", 99),       # best snapshot
+             (3, "https://site.com/p#frag", 99),  # tie -> smaller id (2)
+             (4, None, 1)],                        # keyless: kept
+            "doc_id long, url string, n_chars long")
+        kept = {r.doc_id for r in urls.dedup_by_canonical_url(
+            df, quality_col="n_chars").collect()}
+        assert kept == {2, 4}
