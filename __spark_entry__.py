@@ -1487,6 +1487,93 @@ def q79_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "canonical_url").orderBy("doc_id")
 
 
+def q80_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals (temporal.scd2_history): the events
+    changelog per user ('error' rows as deletes) becomes a versioned
+    history — each upsert a row with [valid_from, valid_to) closed by
+    the NEXT change, deletes closing but not emitting. ONE window
+    exchange. The time-travel companion of q74's latest-wins merge."""
+    from generative_ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "value", "event_type", "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    return temporal.scd2_history(
+        e, "user_id", ts_col="ts", op_col="op", seq_col="event_id",
+        payload=["value", "event_type"],
+    ).orderBy("user_id", "version")
+
+
+def q81_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers (quality.
+    bucket_by_group_quantiles over tfidf.unigram_logprob_score): each
+    doc labeled by where its unigram NLL falls among ITS LANGUAGE's
+    terciles — CCNet §4.3's per-language perplexity split. Thresholds
+    are one map-side-combined percentile agg broadcast back; the
+    boundary is cross-engine exact (q72's order-statistic argument)."""
+    from generative_ner_spark.operators import tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    scored = tfidf.unigram_logprob_score(d).select(
+        F.col("id").alias("doc_id"), "nll")
+    j = scored.join(d.select("doc_id", "lang"), "doc_id")
+    return quality.bucket_by_group_quantiles(
+        j, group_col="lang", value_col="nll",
+    ).select("doc_id", "lang", "nll", "bucket").orderBy("doc_id")
+
+
+def q82_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (sketches.kmv_sketch, k=128): distinct
+    parts per lineitem return flag, estimated from the 128 smallest
+    md5-unit hashes — deterministic order statistics, so the ESTIMATE
+    itself is oracle-exact; the sketch rows are mergeable set algebra
+    (pinned by pytest). ~2000 true distincts per flag exercises the
+    (k-1)/h_k branch."""
+    from generative_ner_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.kmv_sketch(
+        li, group_col="l_returnflag", value_col="l_partkey", k=128,
+    ).select("l_returnflag", "n_kept", "est_distinct").orderBy(
+        "l_returnflag")
+
+
+def q83_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (packing.shard_layout):
+    every doc gets its md5-uniform shard and its within-shard position
+    in hash-rank order — the reproducible write layout a training run
+    shards into files with. One codegen hash + one window exchange on
+    the uniform shard key."""
+    from generative_ner_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return packing.shard_layout(d, n_shards=8).select(
+        "doc_id", "shard", "pos").orderBy("doc_id")
+
+
+def q84_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits, 2 L1-normalized rounds)
+    over the directed supplier -> customer shipment graph: good hubs
+    (suppliers) ship to well-supplied customers, good authorities
+    (customers) buy from strong suppliers. The oracle replays the
+    unrolled rounds with the same scalar normalizations."""
+    from generative_ner_spark.operators import graph
+
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("dst"),
+        )
+    )
+    return graph.hits(edges, n_iter=2).orderBy("node")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1624,6 +1711,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_boilerplate_lines": q77_boilerplate_lines,
         "q78_hashed_quality": q78_hashed_quality,
         "q79_url_dedup": q79_url_dedup,
+        "q80_scd2_history": q80_scd2_history,
+        "q81_nll_buckets": q81_nll_buckets,
+        "q82_kmv_distinct": q82_kmv_distinct,
+        "q83_shard_layout": q83_shard_layout,
+        "q84_hits": q84_hits,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -3450,6 +3542,149 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, canonical_url FROM ranked
             WHERE rn = 1 ORDER BY doc_id""",
+        # q80: lead() closes each version with the NEXT change of any
+        # kind; deletes filtered after; version numbers upserts only
+        "q80_scd2_history": """
+            WITH ch AS (
+                SELECT user_id, value, event_type, ts AS valid_from,
+                       event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete'
+                            ELSE 'upsert' END AS op
+                FROM events WHERE ts IS NOT NULL
+            ), led AS (
+                SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                           ORDER BY valid_from ASC, seq ASC) AS valid_to
+                FROM ch
+            ), ups AS (
+                SELECT user_id, value, event_type, valid_from, valid_to,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY valid_from ASC, seq ASC) AS version
+                FROM led WHERE op != 'delete'
+            )
+            SELECT user_id, value, event_type, valid_from, valid_to,
+                   version, valid_to IS NULL AS is_current
+            FROM ups ORDER BY user_id, version""",
+        # q81: q55's NLL replay joined to the real lang column, then
+        # per-lang quantile_cont terciles + the <= CASE labeling
+        "q81_nll_buckets": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                           lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                           x -> x != '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS c
+                FROM tok GROUP BY doc_id, term
+            ), freq AS (
+                SELECT term, CAST(sum(c) AS BIGINT) AS cnt
+                FROM tf GROUP BY term
+            ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq),
+            nll AS (
+                SELECT doc_id,
+                       round(-sum(c * ln(cnt / t)) / sum(c), 6) AS nll
+                FROM tf JOIN freq USING (term) CROSS JOIN tot
+                GROUP BY doc_id
+            ), d AS (
+                SELECT doc_id, lang, nll
+                FROM nll JOIN documents USING (doc_id)
+            ), t AS (
+                SELECT doc_id, lang, nll,
+                       quantile_cont(nll, 1.0/3.0) OVER (
+                           PARTITION BY lang) AS t1,
+                       quantile_cont(nll, 2.0/3.0) OVER (
+                           PARTITION BY lang) AS t2
+                FROM d
+            )
+            SELECT doc_id, lang, nll,
+                   CASE WHEN nll <= t1 THEN 'head'
+                        WHEN nll <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM t ORDER BY doc_id""",
+        # q82: KMV order statistics — distinct md5-unit hashes, the 128
+        # smallest per group, (k-1)/h_k when full, exact size otherwise
+        "q82_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT l_returnflag AS g,
+                       CAST('0x' || substring(md5('kmv:'
+                           || CAST(l_partkey AS VARCHAR)), 1, 15)
+                           AS BIGINT) / 1152921504606846976.0 AS _h
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), topk AS (
+                SELECT g, _h, row_number() OVER (PARTITION BY g
+                    ORDER BY _h ASC) AS rn
+                FROM h
+            )
+            SELECT g AS l_returnflag,
+                   CAST(count(*) AS INTEGER) AS n_kept,
+                   round(CASE WHEN count(*) < 128
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 127.0 / max(_h) END, 6)
+                       AS est_distinct
+            FROM topk WHERE rn <= 128
+            GROUP BY g ORDER BY g""",
+        # q83: same md5 shard + hash-rank position replay
+        "q83_shard_layout": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5('shard:' || CAST(doc_id AS VARCHAR)) AS _h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, _h,
+                       CAST(CAST('0x' || substring(_h, 1, 15) AS BIGINT)
+                            % 8 AS INTEGER) AS shard
+                FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                       ORDER BY _h ASC, doc_id ASC) - 1 AS INTEGER)
+                       AS pos
+            FROM s ORDER BY doc_id""",
+        # q84: two unrolled HITS rounds with the same L1 scalar
+        # normalizations; only-src nodes have auth 0, only-dst hub 0
+        "q84_hits": """
+            WITH e AS (
+                SELECT DISTINCT 's' || l_suppkey AS src,
+                       'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), nodes AS (
+                SELECT src AS node FROM e
+                UNION SELECT dst AS node FROM e
+            ), h0 AS (
+                SELECT node,
+                       1.0 / (SELECT count(*) FROM nodes) AS hub
+                FROM nodes
+            ), a1r AS (
+                SELECT e.dst AS node, sum(h0.hub) AS raw
+                FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst
+            ), a1 AS (
+                SELECT node, raw / (SELECT sum(raw) FROM a1r) AS auth
+                FROM a1r
+            ), h1r AS (
+                SELECT e.src AS node, sum(a1.auth) AS raw
+                FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+            ), h1 AS (
+                SELECT node, raw / (SELECT sum(raw) FROM h1r) AS hub
+                FROM h1r
+            ), a2r AS (
+                SELECT e.dst AS node, sum(h1.hub) AS raw
+                FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+            ), a2 AS (
+                SELECT node, raw / (SELECT sum(raw) FROM a2r) AS auth
+                FROM a2r
+            ), h2r AS (
+                SELECT e.src AS node, sum(a2.auth) AS raw
+                FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+            ), h2 AS (
+                SELECT node, raw / (SELECT sum(raw) FROM h2r) AS hub
+                FROM h2r
+            )
+            SELECT n.node,
+                   round(coalesce(h2.hub, 0.0), 6) AS hub,
+                   round(coalesce(a2.auth, 0.0), 6) AS auth
+            FROM nodes n
+            LEFT JOIN h2 ON h2.node = n.node
+            LEFT JOIN a2 ON a2.node = n.node
+            ORDER BY n.node""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

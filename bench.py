@@ -84,6 +84,17 @@ HEADLINE = [
     "q71_label_propagation",
     "q72_group_quantile_gate",
     "q73_approx_triangles",
+    "q74_snapshot_merge",
+    "q75_triple_conflicts",
+    "q76_constraint_violations",
+    "q77_boilerplate_lines",
+    "q78_hashed_quality",
+    "q79_url_dedup",
+    "q80_scd2_history",
+    "q81_nll_buckets",
+    "q82_kmv_distinct",
+    "q83_shard_layout",
+    "q84_hits",
     "kg_mention_counts",
     "kg_triples",
 ]

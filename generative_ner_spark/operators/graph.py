@@ -464,3 +464,82 @@ def triangle_count_approx(
     out = out.localCheckpoint()
     sampled.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg JACM'99) over a DIRECTED edge
+    list ``(src, dst)`` -> ``(node, hub, auth)`` — the complement of
+    PageRank for bipartite-ish link structure (suppliers -> customers,
+    pages -> cited pages): a good HUB points at good authorities, a
+    good AUTHORITY is pointed at by good hubs.
+
+    Update per iteration: ``auth(v) = Σ_{u→v} hub(u)`` then ``hub(u) =
+    Σ_{u→v} auth(v)``, each L1-normalized (scores sum to 1 — the L2
+    norm of the classical formulation needs a sqrt that adds nothing
+    for ranking and costs cross-engine float parity). Uniform hub init;
+    nodes never cited / never linking have auth / hub 0. Deterministic
+    for fixed (edges, n_iter) — the q84 oracle replays the unrolled
+    rounds.
+
+    Scale shape (the PageRank argument): the distinct edge list is
+    repartitioned on the join side and persisted once; each half-step
+    is ONE map-side-combined groupBy; normalization totals cross the
+    driver as single scalars; localCheckpoint truncates lineage so
+    Catalyst never re-plans an n_iter-deep tree.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth"))
+    hub = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("hub")
+    ).localCheckpoint()
+    auth = None
+    for _ in range(n_iter):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_raw"))
+        ).localCheckpoint()
+        atot = araw.agg(F.sum("_raw")).first()[0]
+        auth = araw.select(
+            "node", (F.col("_raw") / F.lit(float(atot))).alias("auth")
+        ).localCheckpoint()
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("_raw"))
+        ).localCheckpoint()
+        htot = hraw.agg(F.sum("_raw")).first()[0]
+        hub = hraw.select(
+            "node", (F.col("_raw") / F.lit(float(htot))).alias("hub")
+        ).localCheckpoint()
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )
+    if round_to is not None:
+        out = out.select(
+            "node", F.round("hub", round_to).alias("hub"),
+            F.round("auth", round_to).alias("auth"))
+    out = out.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return out

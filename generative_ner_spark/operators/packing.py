@@ -147,3 +147,41 @@ def chunk_documents(
                 " ").alias("chunk_text"),
         )
     )
+
+
+def shard_layout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the training-data
+    write-layout primitive ("shuffle the corpus, cut it into N files"):
+    every row gets ``shard`` (md5-uniform in [0, n_shards)) and ``pos``
+    (its 0-based position within the shard, in md5-rank order with the
+    id as tiebreak). The layout is a pure function of (ids, salt, n):
+    identical on every run, engine, cluster size, and input order — the
+    property RNG-based shuffles can't give a resumable pipeline. Write
+    with ``partitionBy("shard")`` (or repartition on it) for the final
+    files.
+
+    Scale shape: one codegen hash projection + ONE Exchange on the
+    shard key (~uniform by construction: no skew) for the per-shard
+    position window; ``n_shards`` is the parallelism knob — size it so
+    a shard fits a task comfortably (same argument as pack_sequences'
+    shards). Fully SQL-expressible => full q83 oracle.
+    """
+    h = _md5_key(id_col, salt)
+    out = df.withColumn("_h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("_h"), 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        out.withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("_h")
+    )

@@ -736,3 +736,55 @@ def hashed_quality_score(
                        F.lit(False)))
         .drop("_tk")
     )
+
+
+def bucket_by_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+    out_col: str = "bucket",
+    exact: bool = True,
+    accuracy: int = 10000,
+    broadcast_thresholds: bool = True,
+) -> DataFrame:
+    """Per-group quantile BUCKETING — the CCNet head/middle/tail split:
+    each row is labeled by where its ``value_col`` falls among its OWN
+    group's quantiles (``labels[i]`` iff value <= the ``probs[i]``
+    threshold, last label otherwise). With value = perplexity/NLL and
+    group = language this is exactly CCNet §4.3's per-language quality
+    tiers; filter_by_group_quantile is the one-threshold special case
+    that DROPS a side, this keeps every row and labels it.
+
+    Scale shape: ONE map-side-combined groupBy computes all thresholds
+    per group (group-count-sized, broadcast back by default); the
+    labeling is a codegen CASE over len(probs) comparisons — O(probs),
+    not O(groups). Boundary cross-engine exactness: same argument as
+    filter_by_group_quantile (the interpolated quantile is an order
+    statistic or strictly between two — no row value can sit on a
+    float-ambiguous edge), so the q81 oracle hash-matches.
+    """
+    if len(labels) != len(probs) + 1:
+        raise ValueError("need len(labels) == len(probs) + 1")
+    if list(probs) != sorted(probs):
+        raise ValueError("probs must be ascending")
+    qagg = (
+        F.percentile(F.col(value_col),
+                     F.array(*[F.lit(float(p)) for p in probs]))
+        if exact
+        else F.percentile_approx(
+            F.col(value_col),
+            F.array(*[F.lit(float(p)) for p in probs]),
+            F.lit(accuracy))
+    )
+    thr = df.groupBy(group_col).agg(qagg.alias("_thr"))
+    if broadcast_thresholds:
+        thr = F.broadcast(thr)
+    label = F.lit(labels[-1])
+    for i in range(len(probs) - 1, -1, -1):
+        label = F.when(
+            F.col(value_col) <= F.element_at("_thr", i + 1),
+            F.lit(labels[i]),
+        ).otherwise(label)
+    return df.join(thr, group_col).withColumn(out_col, label).drop("_thr")

@@ -4564,3 +4564,193 @@ class TestCanonicalUrlDedup:
         kept = {r.doc_id for r in urls.dedup_by_canonical_url(
             df, quality_col="n_chars").collect()}
         assert kept == {2, 4}
+
+
+class TestScd2History:
+    def _hist(self, spark, rows):
+        from generative_ner_spark.operators import temporal
+
+        df = spark.createDataFrame(
+            rows, "k long, v string, ts timestamp, seq long, op string")
+        return temporal.scd2_history(
+            df, "k", ts_col="ts", op_col="op", seq_col="seq",
+            payload=["v"])
+
+    def test_versions_chain_and_delete_closes_without_emitting(self, spark):
+        from datetime import datetime
+
+        t = [datetime(2024, 1, d) for d in (1, 2, 3, 4)]
+        out = sorted(
+            self._hist(spark, [
+                (1, "a", t[0], 1, "upsert"),
+                (1, "b", t[1], 2, "upsert"),
+                (1, None, t[2], 3, "delete"),
+                (1, "c", t[3], 4, "upsert"),
+            ]).collect(),
+            key=lambda r: r.version)
+        assert [(r.v, r.version, r.is_current) for r in out] == [
+            ("a", 1, False), ("b", 2, False), ("c", 3, True)]
+        # v1 closed by v2's ts; v2 closed by the DELETE's ts; v3 open
+        assert out[0].valid_to == t[1]
+        assert out[1].valid_to == t[2]
+        assert out[2].valid_to is None
+
+    def test_ts_tie_breaks_by_seq_and_null_ts_dropped(self, spark):
+        from datetime import datetime
+
+        t0 = datetime(2024, 1, 1)
+        out = sorted(
+            self._hist(spark, [
+                (1, "first", t0, 1, "upsert"),
+                (1, "second", t0, 2, "upsert"),
+                (1, "ghost", None, 3, "upsert"),
+            ]).collect(),
+            key=lambda r: r.version)
+        assert [(r.v, r.is_current) for r in out] == [
+            ("first", False), ("second", True)]
+        assert out[0].valid_to == t0  # zero-length interval, documented
+
+    def test_single_exchange_plan(self, spark):
+        from datetime import datetime
+
+        out = self._hist(spark, [
+            (i % 5, f"v{i}", datetime(2024, 1, 1 + i % 20), i, "upsert")
+            for i in range(100)])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestKmvSketch:
+    def test_exact_branch_below_k(self, spark):
+        from generative_ner_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [("g", f"v{i % 40}") for i in range(500)],
+            "g string, v string")
+        r = sketches.kmv_sketch(df, "g", "v", k=128).collect()[0]
+        assert r.n_kept == 40 and r.est_distinct == 40.0
+
+    def test_estimate_branch_error_bounded(self, spark):
+        from generative_ner_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [("g", f"item-{i}") for i in range(2000)] * 2,
+            "g string, v string")
+        r = sketches.kmv_sketch(df, "g", "v", k=256).collect()[0]
+        assert r.n_kept == 256
+        # std error ~ 1/sqrt(k-2) ~ 6%; allow 3 sigma
+        assert abs(r.est_distinct - 2000) / 2000 < 0.2
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        """Deterministic hashes make the merge EXACT set algebra:
+        merge(sketch(A), sketch(B)) must be byte-identical to
+        sketch(A UNION B) — the property that lets per-day sketch
+        tables answer range queries without rescans."""
+        from generative_ner_spark.operators import sketches
+
+        a = spark.createDataFrame(
+            [("g", f"x{i}") for i in range(300)], "g string, v string")
+        b = spark.createDataFrame(
+            [("g", f"x{i}") for i in range(150, 450)],
+            "g string, v string")
+        k = 64
+        merged = sketches.merge_kmv_sketches(
+            sketches.kmv_sketch(a, "g", "v", k=k).unionByName(
+                sketches.kmv_sketch(b, "g", "v", k=k)),
+            k=k, group_col="g").collect()[0]
+        direct = sketches.kmv_sketch(
+            a.unionByName(b), "g", "v", k=k).collect()[0]
+        assert merged.sketch == direct.sketch
+        assert merged.est_distinct == direct.est_distinct
+
+    def test_global_merge_across_groups(self, spark):
+        from generative_ner_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [(f"g{i % 4}", f"v{i % 30}") for i in range(400)],
+            "g string, v string")
+        sk = sketches.kmv_sketch(df, "g", "v", k=128)
+        allg = sketches.merge_kmv_sketches(sk, k=128).collect()[0]
+        assert allg.est_distinct == 30.0  # below k: exact across groups
+
+
+class TestShardLayout:
+    def test_deterministic_and_input_order_invariant(self, spark):
+        from generative_ner_spark.operators import packing
+
+        rows = [(i,) for i in range(300)]
+        d1 = spark.createDataFrame(rows, "doc_id long")
+        d2 = spark.createDataFrame(rows[::-1], "doc_id long").repartition(7)
+        l1 = {r.doc_id: (r.shard, r.pos)
+              for r in packing.shard_layout(d1, n_shards=8).collect()}
+        l2 = {r.doc_id: (r.shard, r.pos)
+              for r in packing.shard_layout(d2, n_shards=8).collect()}
+        assert l1 == l2
+
+    def test_positions_contiguous_per_shard(self, spark):
+        from collections import defaultdict
+
+        from generative_ner_spark.operators import packing
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        by_shard = defaultdict(list)
+        for r in packing.shard_layout(df, n_shards=8).collect():
+            assert 0 <= r.shard < 8
+            by_shard[r.shard].append(r.pos)
+        assert sum(len(v) for v in by_shard.values()) == 500
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+
+class TestBucketByGroupQuantiles:
+    def test_tercile_labels(self, spark):
+        rows = [("en", float(i)) for i in range(1, 10)]  # 1..9
+        df = spark.createDataFrame(rows, "lang string, v double")
+        out = quality.bucket_by_group_quantiles(
+            df, "lang", "v").collect()
+        got = {r.v: r.bucket for r in out}
+        # terciles of 1..9: t1 ~ 3.67, t2 ~ 6.33
+        assert {v for v, b in got.items() if b == "head"} == {1, 2, 3}
+        assert {v for v, b in got.items() if b == "middle"} == {4, 5, 6}
+        assert {v for v, b in got.items() if b == "tail"} == {7, 8, 9}
+        assert len(out) == 9  # labeling keeps every row
+
+    def test_groups_independent_and_validation(self, spark):
+        import pytest as _pytest
+
+        rows = [("a", float(i)) for i in range(10)] + \
+               [("b", float(i * 100) + 1) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quality.bucket_by_group_quantiles(df, "g", "v")
+        heads = {(r.g, r.v) for r in out.collect() if r.bucket == "head"}
+        # each group's OWN head: small values of a AND of b
+        assert ("a", 0.0) in heads and ("b", 1.0) in heads
+        with _pytest.raises(ValueError):
+            quality.bucket_by_group_quantiles(
+                df, "g", "v", probs=(0.5,), labels=("x",))
+        with _pytest.raises(ValueError):
+            quality.bucket_by_group_quantiles(
+                df, "g", "v", probs=(0.9, 0.1), labels=("x", "y", "z"))
+
+
+class TestHits:
+    def test_hub_authority_structure(self, spark):
+        from generative_ner_spark.operators import graph
+
+        # s2 links both customers (better hub); c1 cited twice (better
+        # authority)
+        edges = spark.createDataFrame(
+            [("s1", "c1"), ("s2", "c1"), ("s2", "c2")],
+            "src string, dst string")
+        out = {r.node: r for r in graph.hits(edges, n_iter=2).collect()}
+        assert out["s2"].hub > out["s1"].hub
+        assert out["c1"].auth > out["c2"].auth
+        assert out["s1"].auth == 0.0 and out["c1"].hub == 0.0
+        assert abs(sum(r.hub for r in out.values()) - 1.0) < 1e-6
+        assert abs(sum(r.auth for r in out.values()) - 1.0) < 1e-6
+
+    def test_empty_graph(self, spark):
+        from generative_ner_spark.operators import graph
+
+        edges = spark.createDataFrame([], "src string, dst string")
+        assert graph.hits(edges).count() == 0
