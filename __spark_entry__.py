@@ -1574,6 +1574,58 @@ def q84_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.hits(edges, n_iter=2).orderBy("node")
 
 
+def q85_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram LM NLL (tfidf.bigram_nll): one modeling
+    step past q55's unigram proxy — word-ORDER violations now score
+    high. One corpus-wide bigram count (map-side combined, persisted);
+    marginals + vocab scalar are vocabulary-sized derivatives."""
+    from generative_ner_spark.operators import tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf.bigram_nll(d, add_k=0.5).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "nll").orderBy("doc_id")
+
+
+def q86_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (graph.
+    clustering_coefficient = degrees + triangle_counts + one uniform-key
+    join) over a 1/3-sparsified part co-occurrence graph (every third
+    order) — the clique-ness signal for entity neighborhoods. The
+    oracle replays orientation, wedge-close, membership counts and the
+    2T/d(d-1) arithmetic."""
+    from generative_ner_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(
+        li, basket_col="l_orderkey", item_col="l_partkey")
+    return graph.clustering_coefficient(edges).orderBy("node")
+
+
+def q87_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group CDF normalization (quality.group_percent_rank): each
+    doc's length percentile WITHIN its own language — the calibration
+    that makes heterogeneous signals comparable across groups. ONE
+    window exchange; exact integer rank arithmetic => float-exact
+    oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quality.group_percent_rank(
+        d, group_col="lang", value_col="n_chars",
+    ).orderBy("doc_id")
+
+
+def q88_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level language-consistency (quality.
+    mixed_language_stats): 24-token chunks, per-chunk lang-ID, per-doc
+    majority + disagreement ratio — the Dolma-style mixed-language
+    flag a doc-level argmax averages away. Chunking and lang-ID are
+    pure codegen; only slim (id, lang) counts shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality.mixed_language_stats(
+        d, chunk_tokens=24,
+    ).orderBy("doc_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1716,6 +1768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_kmv_distinct": q82_kmv_distinct,
         "q83_shard_layout": q83_shard_layout,
         "q84_hits": q84_hits,
+        "q85_bigram_nll": q85_bigram_nll,
+        "q86_clustering_coefficient": q86_clustering_coefficient,
+        "q87_percent_rank": q87_percent_rank,
+        "q88_mixed_language": q88_mixed_language,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -1756,6 +1812,63 @@ def _lang_id_sql(from_: str = "documents", order_by: bool = True) -> str:
         f"FROM (SELECT doc_id, {hits} FROM {from_})"
         + (" ORDER BY doc_id" if order_by else "")
     )
+
+
+def _mixed_lang_sql(chunk_tokens: int = 24) -> str:
+    """q88 oracle: replay no-overlap chunking (q66's slice arithmetic),
+    the per-chunk lang-ID argmax (same marker regexes and tie order as
+    _lang_id_sql, keyed by (doc_id, chunk_id)), then majority +
+    disagreement ratio."""
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{LANG_MARKERS[lang]}', 0))"
+        f" AS h_{lang}"
+        for lang in langs
+    )
+    cond = []
+    for i, lang in enumerate(langs):
+        others = [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
+        cond.append(
+            ("WHEN " + " AND ".join(others) + f" THEN '{lang}'")
+            if others else f"ELSE '{lang}'"
+        )
+    case = " ".join(cond)
+    zero = " AND ".join(f"h_{lang} = 0" for lang in langs)
+    c = int(chunk_tokens)
+    return rf"""
+        WITH tk AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(
+                text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id, CAST(s / {c} AS INT) AS chunk_id,
+                   array_to_string(t[s + 1:s + {c}], ' ') AS text
+            FROM tk, UNNEST(range(0, greatest(len(t), 1), {c})) AS u(s)
+            WHERE len(t) > 0
+        ), h AS (
+            SELECT doc_id, chunk_id, {hits} FROM chunks
+        ), lang AS (
+            SELECT doc_id, chunk_id,
+                   CASE WHEN {zero} THEN 'und' {case} END AS lang_pred
+            FROM h
+        ), counts AS (
+            SELECT doc_id, lang_pred, count(*) AS n
+            FROM lang GROUP BY doc_id, lang_pred
+        ), major AS (
+            SELECT doc_id, lang_pred, n,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY n DESC, lang_pred ASC) AS rn
+            FROM counts
+        ), tot AS (
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks
+            FROM counts GROUP BY doc_id
+        )
+        SELECT m.doc_id, t.n_chunks, m.lang_pred AS major_lang,
+               m.n AS n_major,
+               round(1.0 - m.n / CAST(t.n_chunks AS DOUBLE), 6)
+                   AS mixed_ratio
+        FROM major m JOIN tot t USING (doc_id)
+        WHERE m.rn = 1 ORDER BY m.doc_id"""
 
 
 # Salted near-dup corpus shared by the q19/q20 oracles: the original docs
@@ -3685,6 +3798,86 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN h2 ON h2.node = n.node
             LEFT JOIN a2 ON a2.node = n.node
             ORDER BY n.node""",
+        # q85: bigram counts + prefix marginal + vocab scalar, add-k
+        # smoothing — exact-integer-fed arithmetic, round-6 mean
+        "q85_bigram_nll": """
+            WITH tok AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                    x -> x != '') AS t
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM tok WHERE len(t) >= 2)
+            ), c12 AS (
+                SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, CAST(sum(c) AS BIGINT) AS cw
+                FROM c12 GROUP BY w1
+            ), v AS (
+                SELECT count(DISTINCT u) AS vs
+                FROM (SELECT unnest(t) AS u FROM tok)
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(-sum(ln((c + 0.5) / (cw + 0.5 * vs)))
+                         / count(*), 6) AS nll
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            CROSS JOIN v
+            GROUP BY doc_id ORDER BY doc_id""",
+        # q86: q59's orientation + wedge-close on the 1/3-sparsified
+        # graph, then degrees + the 2T/d(d-1) arithmetic
+        "q86_clustering_coefficient": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem WHERE l_orderkey % 3 = 0
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, COUNT(*) AS degree FROM sym
+                GROUP BY src
+            ), oriented AS (
+                SELECT sym.src, sym.dst
+                FROM sym JOIN deg ds ON ds.node = sym.src
+                         JOIN deg dd ON dd.node = sym.dst
+                WHERE ds.degree < dd.degree
+                   OR (ds.degree = dd.degree AND sym.src < sym.dst)
+            ), wedges AS (
+                SELECT o1.src AS apex, o1.dst AS b, o2.dst AS c
+                FROM oriented o1 JOIN oriented o2
+                  ON o1.src = o2.src AND o1.dst < o2.dst
+            ), tri AS (
+                SELECT w.apex, w.b, w.c FROM wedges w
+                JOIN edges e ON e.s = w.b AND e.d = w.c
+            ), membr AS (
+                SELECT apex AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ), tcount AS (
+                SELECT node, COUNT(*) AS n_triangles FROM membr
+                GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   coalesce(t.n_triangles, 0) AS n_triangles,
+                   round(CASE WHEN d.degree >= 2
+                              THEN 2.0 * coalesce(t.n_triangles, 0)
+                                   / (d.degree * (d.degree - 1.0))
+                              ELSE 0.0 END, 6) AS cc
+            FROM deg d LEFT JOIN tcount t USING (node)
+            ORDER BY d.node""",
+        # q87: same percent_rank definition ((rank-1)/(n-1), ties share)
+        "q87_percent_rank": """
+            SELECT doc_id, lang, n_chars,
+                   round(percent_rank() OVER (PARTITION BY lang
+                       ORDER BY n_chars ASC), 6) AS pct
+            FROM documents ORDER BY doc_id""",
+        "q88_mixed_language": _mixed_lang_sql(chunk_tokens=24),
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

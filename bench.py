@@ -95,6 +95,10 @@ HEADLINE = [
     "q82_kmv_distinct",
     "q83_shard_layout",
     "q84_hits",
+    "q85_bigram_nll",
+    "q86_clustering_coefficient",
+    "q87_percent_rank",
+    "q88_mixed_language",
     "kg_mention_counts",
     "kg_triples",
 ]

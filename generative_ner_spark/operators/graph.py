@@ -543,3 +543,38 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over a canonical undirected
+    edge list: ``cc(v) = 2 * T(v) / (deg(v) * (deg(v) - 1))`` — the
+    fraction of v's neighbor pairs that are themselves connected, the
+    standard "how clique-like is this entity's neighborhood" signal
+    (Watts & Strogatz 1998). Output ``(node, degree, n_triangles, cc)``
+    for every node in the graph; degree-<2 nodes have cc 0.0 by
+    convention (no neighbor pair exists).
+
+    Scale shape: one join on top of the machinery both inputs already
+    use at scale — ``triangle_counts`` (degree-ordered orientation,
+    O(sqrt E) wedge bound) and ``degrees`` (map-side-combined agg);
+    the final per-node join is on the uniform node key. Fully
+    SQL-expressible => full q86 oracle.
+    """
+    deg = degrees(edges)
+    tri = triangle_counts(edges)
+    cc = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2.0) * F.col("n_triangles").cast("double"))
+        / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = deg.join(tri, "node", "left").select(
+        "node", "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    ).select(
+        "node", "degree", "n_triangles",
+        (F.round(cc, round_to) if round_to is not None else cc).alias("cc"),
+    )
+    return out

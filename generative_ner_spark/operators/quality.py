@@ -788,3 +788,88 @@ def bucket_by_group_quantiles(
             F.lit(labels[i]),
         ).otherwise(label)
     return df.join(thr, group_col).withColumn(out_col, label).drop("_thr")
+
+
+def group_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct",
+    descending: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group CDF normalization: ``out_col = percent_rank()`` of
+    ``value_col`` WITHIN its group — the score-calibration primitive
+    for mixing heterogeneous quality signals ("is this doc in its
+    language's top 10% by NLL?" composes across languages where raw
+    values don't). 0 for the group's minimum, 1 for its maximum, equal
+    values share a rank (deterministic without a tiebreak column);
+    single-row groups get 0.
+
+    Scale shape: ONE window Exchange on the group key; the rank
+    arithmetic is exact integers over (n-1), so the q87 oracle is
+    float-exact."""
+    from pyspark.sql import Window
+
+    order = (F.col(value_col).desc() if descending
+             else F.col(value_col).asc())
+    w = Window.partitionBy(group_col).orderBy(order)
+    return df.withColumn(
+        out_col, F.round(F.percent_rank().over(w), round_to))
+
+
+def mixed_language_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Document-level language-consistency check — the Dolma/CCNet-style
+    mixed-language flag: chunk each doc into fixed ``chunk_tokens``
+    windows (no overlap), language-ID each chunk independently, and
+    report ``(id, n_chunks, major_lang, n_major, mixed_ratio)`` where
+    ``major_lang`` is the most common chunk language (ties: smaller
+    code; 'und' counts like any other) and ``mixed_ratio`` the fraction
+    of chunks disagreeing with it. A translated-half page or template
+    soup scores high where a doc-level argmax would average it away.
+
+    Scale shape: chunking and per-chunk lang-ID are pure narrow codegen
+    (chunk_documents + lang_id — no UDF, no shuffle); the only wide ops
+    are slim (id, lang) count aggs and an id-keyed argmax window — the
+    chunk TEXT never crosses an exchange. Fully SQL-expressible =>
+    full q88 oracle.
+    """
+    from pyspark.sql import Window
+
+    from generative_ner_spark.operators import packing
+
+    chunks = packing.chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, overlap=0)
+    tagged = lang_id(
+        chunks.select(id_col, "chunk_id",
+                      F.col("chunk_text").alias("_ct")),
+        "_ct",
+    )
+    counts = tagged.groupBy(id_col, "lang_pred").agg(
+        F.count("*").alias("_n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_n").desc(), F.col("lang_pred").asc())
+    major = counts.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1)
+    totals = counts.groupBy(id_col).agg(F.sum("_n").alias("n_chunks"))
+    return (
+        major.join(totals, id_col)
+        .select(
+            id_col,
+            "n_chunks",
+            F.col("lang_pred").alias("major_lang"),
+            F.col("_n").alias("n_major"),
+            F.round(
+                F.lit(1.0)
+                - F.col("_n").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("mixed_ratio"),
+        )
+    )

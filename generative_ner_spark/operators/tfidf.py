@@ -328,3 +328,63 @@ def zipf_slope(
     if group_col is not None:
         return out.withColumnRenamed("grp", group_col)
     return out.select("n_types", "n_tokens", "zipf_slope", "zipf_intercept")
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-k-smoothed BIGRAM LM — one modeling step past
+    unigram_logprob_score's bag-of-words fluency proxy: word-ORDER
+    violations (shuffled text, template soup, keyword stuffing) now
+    score high even when every token is common.
+    ``p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k*V)`` with ``c(w1·)`` the
+    bigram-prefix marginal and ``V`` the corpus unigram vocabulary
+    size; ``nll = -mean ln p`` over the doc's consecutive pairs.
+    Output: (id, n_bigrams, nll); docs with < 2 tokens produce no row.
+
+    Scale shape: ONE explode + map-side-combined bigram count (the only
+    corpus-wide wide op; persisted — it feeds the prefix marginal AND
+    the scoring join); marginals and the scalar V are vocabulary-sized
+    derivatives of that counted frame; scoring joins are AQE-broadcast
+    when the vocabulary fits (same argument as pmi_bigrams). Smoothing
+    arithmetic is exact-integer-fed doubles, so only the per-doc mean
+    carries the established round-``round_to`` float contract (q85
+    oracle).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+"),
+        lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+    # vocabulary size over ALL tokens (not just bigram prefixes)
+    vocab = base.select(F.explode("_tk").alias("t")).agg(
+        F.countDistinct("t")).first()[0]
+    bg = (
+        base.where(F.size("_tk") >= 2)
+        .select("id", F.explode(F.expr(
+            "transform(sequence(0, size(_tk) - 2),"
+            " i -> struct(_tk[i] AS w1, _tk[i + 1] AS w2))")).alias("_bg"))
+        .select("id", "_bg.w1", "_bg.w2")
+    ).persist()
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("_c12")).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    if vocab is None or vocab == 0:  # no tokens anywhere: empty result
+        return bg.select(
+            "id", F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0.0).alias("nll")).where(F.lit(False))
+    kv = float(add_k) * float(int(vocab))
+    nl = -F.log(
+        (F.col("_c12") + F.lit(float(add_k)))
+        / (F.col("_c1") + F.lit(kv)))
+    return (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(nl) / F.count("*"), round_to).alias("nll"),
+        )
+    )

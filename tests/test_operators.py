@@ -4754,3 +4754,101 @@ class TestHits:
 
         edges = spark.createDataFrame([], "src string, dst string")
         assert graph.hits(edges).count() == 0
+
+
+class TestClusteringCoefficient:
+    def test_triangle_plus_pendant(self, spark):
+        from generative_ner_spark.operators import graph
+
+        # triangle a-b-c plus pendant d hanging off a
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")],
+            "src string, dst string")
+        out = {r.node: r for r in
+               graph.clustering_coefficient(edges).collect()}
+        # a: deg 3, 1 triangle -> 2*1/(3*2) = 1/3
+        assert out["a"].degree == 3 and out["a"].cc == round(1 / 3, 6)
+        assert out["b"].cc == 1.0 and out["c"].cc == 1.0
+        assert out["d"].degree == 1 and out["d"].cc == 0.0
+        assert out["d"].n_triangles == 0
+
+    def test_triangle_free_graph_all_zero(self, spark):
+        from generative_ner_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")],  # path: no triangles
+            "src string, dst string")
+        assert all(r.cc == 0.0 for r in
+                   graph.clustering_coefficient(edges).collect())
+
+
+class TestBigramNll:
+    def test_order_violation_scores_higher(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        # corpus dominated by 'a b' bigrams; doc 9 reverses the order
+        rows = [(i, "a b a b a b") for i in range(9)] + [(9, "b a b a b a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r.nll for r in tfidf.bigram_nll(df).collect()}
+        assert out[9] > out[0]  # reversed order is surprising
+
+    def test_short_and_empty_docs_skipped(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        df = spark.createDataFrame(
+            [(1, "only"), (2, ""), (3, "two words here")],
+            "doc_id long, text string")
+        out = {r.id: r.n_bigrams for r in tfidf.bigram_nll(df).collect()}
+        assert out == {3: 2}
+
+    def test_unseen_order_finite_via_smoothing(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        df = spark.createDataFrame(
+            [(1, "x y x y"), (2, "y x")],  # 'y x' exists; all finite
+            "doc_id long, text string")
+        vals = [r.nll for r in tfidf.bigram_nll(df, add_k=0.5).collect()]
+        assert all(v is not None and v > 0 for v in vals)
+
+
+class TestGroupPercentRank:
+    def test_cdf_per_group_with_ties(self, spark):
+        rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0),
+                ("b", 100.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quality.group_percent_rank(df, "g", "v").collect()
+        got = sorted((r.g, r.v, r.pct) for r in out)
+        # group a (n=4): ranks 1,2,2,4 -> pct 0, 1/3, 1/3, 1
+        assert got == [
+            ("a", 1.0, 0.0), ("a", 2.0, round(1 / 3, 6)),
+            ("a", 2.0, round(1 / 3, 6)), ("a", 3.0, 1.0),
+            ("b", 100.0, 0.0),  # single-row group
+        ]
+
+    def test_descending_flips(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0)], "g string, v double")
+        out = {r.v: r.pct for r in quality.group_percent_rank(
+            df, "g", "v", descending=True).collect()}
+        assert out == {2.0: 0.0, 1.0: 1.0}
+
+
+class TestMixedLanguageStats:
+    def test_mixed_doc_flagged_pure_doc_clean(self, spark):
+        en = "the cat and the dog is in the house with the bird"
+        de = "der hund und die katze ist nicht ein vogel mit der maus"
+        df = spark.createDataFrame(
+            [(1, " ".join([en] * 4)),             # pure en
+             (2, " ".join([en] * 2 + [de] * 2))],  # half de
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in quality.mixed_language_stats(
+            df, chunk_tokens=11).collect()}
+        assert out[1].major_lang == "en" and out[1].mixed_ratio == 0.0
+        assert out[2].mixed_ratio > 0.0
+        assert out[2].n_major < out[2].n_chunks
+
+    def test_chunk_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(["w"] * 50))], "doc_id long, text string")
+        r = quality.mixed_language_stats(df, chunk_tokens=20).collect()[0]
+        assert r.n_chunks == 3  # 50 tokens / 20 -> chunks at 0, 20, 40
