@@ -1626,6 +1626,64 @@ def q88_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q89_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (bm25.rrf_fuse — Cormack et al. SIGIR'09):
+    three top-50 document rankings on incomparable scales (length,
+    token count, hash order) fused into one top-10 via Σ 1/(60+rank).
+    The fused agg is result-set-sized; exact-integer reciprocals."""
+    from pyspark.sql import Window
+
+    from generative_ner_spark.operators import bm25
+
+    d = _t(spark, sf_dir, "documents")
+
+    def ranked(order_cols):
+        w = Window.orderBy(*order_cols)
+        return (
+            d.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 50)
+            .select("doc_id", "rank")
+        )
+
+    r1 = ranked([F.col("n_chars").desc(), F.col("doc_id").asc()])
+    r2 = ranked([quality.token_count_col("text").desc(),
+                 F.col("doc_id").asc()])
+    r3 = ranked([F.md5(F.concat(F.lit("rrf:"),
+                                F.col("doc_id").cast("string"))).asc(),
+                 F.col("doc_id").asc()])
+    return bm25.rrf_fuse([r1, r2, r3], k=60, top_k=10).orderBy("rank")
+
+
+def q90_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (graph.adamic_adar) on the q86
+    sparsified co-occurrence graph: top-200 NON-edge pairs by common
+    neighbors weighted 1/ln(deg) — "which entities should probably be
+    linked". Wedge generation from the degree-annotated adjacency,
+    map-side-combined pair agg, slim anti-join against existing
+    edges."""
+    from generative_ner_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 10 == 0).select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(
+        li, basket_col="l_orderkey", item_col="l_partkey")
+    return graph.adamic_adar(edges).orderBy(
+        F.col("aa").desc(), F.col("a").asc(), F.col("b").asc()).limit(200)
+
+
+def q91_throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key event throttling (temporal.throttle_events): at most one
+    event per user per 2-hour quiet period — alert-dedup semantics
+    (gap-island firsts, which reduce to ONE lag comparison). One window
+    exchange, codegen filter, no state."""
+    from generative_ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.throttle_events(
+        e, "user_id", ts_col="ts", quiet_seconds=7200, seq_col="event_id",
+    ).select("event_id", "user_id", "ts").orderBy("event_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1772,6 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_clustering_coefficient": q86_clustering_coefficient,
         "q87_percent_rank": q87_percent_rank,
         "q88_mixed_language": q88_mixed_language,
+        "q89_rrf_fusion": q89_rrf_fusion,
+        "q90_adamic_adar": q90_adamic_adar,
+        "q91_throttle_events": q91_throttle_events,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -3878,6 +3939,83 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC), 6) AS pct
             FROM documents ORDER BY doc_id""",
         "q88_mixed_language": _mixed_lang_sql(chunk_tokens=24),
+        # q89: three rankings replayed with the same total orders, then
+        # Σ 1/(60+rank) per doc, (score desc, id) top-10
+        "q89_rrf_fusion": """
+            WITH r1 AS (
+                SELECT doc_id, rn AS rank FROM (
+                    SELECT doc_id, row_number() OVER (
+                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM documents) WHERE rn <= 50
+            ), r2 AS (
+                SELECT doc_id, rn AS rank FROM (
+                    SELECT doc_id, row_number() OVER (ORDER BY
+                        CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                  '[ \\t\\n\\x0b\\f\\r]+')) END DESC,
+                        doc_id ASC) AS rn
+                    FROM documents) WHERE rn <= 50
+            ), r3 AS (
+                SELECT doc_id, rn AS rank FROM (
+                    SELECT doc_id, row_number() OVER (ORDER BY
+                        md5('rrf:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rn
+                    FROM documents) WHERE rn <= 50
+            ), contrib AS (
+                SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM r1
+                UNION ALL SELECT doc_id, 1.0 / (60.0 + rank) FROM r2
+                UNION ALL SELECT doc_id, 1.0 / (60.0 + rank) FROM r3
+            ), fused AS (
+                SELECT doc_id, count(*) AS n_lists,
+                       round(sum(c), 6) AS rrf_score
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, n_lists, rrf_score,
+                   CAST(row_number() OVER (ORDER BY rrf_score DESC,
+                        doc_id ASC) AS INTEGER) AS rank
+            FROM fused
+            QUALIFY rank <= 10 ORDER BY rank""",
+        # q90: 1/10-sparsified graph; wedges from the degree-annotated
+        # adjacency (a < b once per common neighbor), 1/ln(deg z)
+        # weights, existing-edge NOT EXISTS, top-200 total order
+        "q90_adamic_adar": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem WHERE l_orderkey % 10 = 0
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, COUNT(*) AS degree FROM sym
+                GROUP BY src
+            ), adjd AS (
+                SELECT sym.src AS z, sym.dst AS nb, deg.degree AS dz
+                FROM sym JOIN deg ON deg.node = sym.src
+            ), pairs AS (
+                SELECT l.nb AS a, r.nb AS b, count(*) AS n_common,
+                       round(sum(1.0 / ln(l.dz)), 6) AS aa
+                FROM adjd l JOIN adjd r ON l.z = r.z AND l.nb < r.nb
+                GROUP BY l.nb, r.nb
+            )
+            SELECT a, b, n_common, aa FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.s = p.a AND e.d = p.b)
+            ORDER BY aa DESC, a ASC, b ASC LIMIT 200""",
+        # q91: gap-island firsts == one lag comparison (strict >,
+        # event_id tiebreak, integer micros)
+        "q91_throttle_events": """
+            SELECT event_id, user_id, ts FROM (
+                SELECT event_id, user_id, ts,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev,
+                       epoch_us(ts) AS us
+                FROM events WHERE ts IS NOT NULL)
+            WHERE prev IS NULL OR us - prev > 7200000000
+            ORDER BY event_id""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

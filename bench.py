@@ -99,6 +99,9 @@ HEADLINE = [
     "q86_clustering_coefficient",
     "q87_percent_rank",
     "q88_mixed_language",
+    "q89_rrf_fusion",
+    "q90_adamic_adar",
+    "q91_throttle_events",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -232,3 +232,47 @@ def probe_bm25_index(
         F.lit(windex.total_tokens / windex.n_docs),
         id_col, k1, b)
     return _topk_ranked(scored, id_col, top_k)
+
+
+def rrf_fuse(
+    rankings: list,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+    round_to: int = 6,
+):
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) — THE standard
+    way to combine heterogeneous retrieval lists (BM25 + ANN + recency,
+    each on its own incomparable score scale) into one ranking:
+    ``rrf(d) = Σ_lists 1 / (k + rank_list(d))``, rank 1-based, items
+    absent from a list contribute nothing. Output: (id, n_lists,
+    rrf_score, rank) ordered by (score desc, id asc); ``top_k`` bounds
+    the output (TakeOrderedAndProject — no global sort).
+
+    Scale shape: each input is already a (small) top-N result frame —
+    the union + per-id agg is result-set-sized, never corpus-sized;
+    map-side combine folds an id's per-list contributions before the
+    one slim exchange. Rank reciprocals come from exact integers, so
+    only the final sum carries the round-``round_to`` float contract
+    (q89 oracle).
+    """
+    from pyspark.sql import Window
+
+    tagged = None
+    for r in rankings:
+        slim = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+             ).alias("_contrib"),
+        )
+        tagged = slim if tagged is None else tagged.unionByName(slim)
+    fused = tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lists"),
+        F.round(F.sum("_contrib"), round_to).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        out = out.where(F.col("rank") <= top_k)
+    return out

@@ -469,3 +469,44 @@ def decayed_counts(
         F.count("*").alias("n_events"),
         F.round(F.sum(w), round_to).alias("decayed_score"),
     )
+
+
+def throttle_events(
+    events: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str = "ts",
+    quiet_seconds: int = 3600,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Per-key event throttling — "emit at most one row per key per
+    quiet period": keep an event iff its key logged NOTHING in the
+    preceding ``quiet_seconds`` (alert dedup, notification rate
+    limiting, crawl-revisit suppression). Formally: events chain into
+    gap-islands exactly like sessionize's sessions (consecutive gaps
+    <= quiet), and the FIRST event of each island survives — which
+    reduces to one lag comparison, because an island's first event is
+    precisely the one whose gap from the previous EVENT exceeds the
+    quiet period. Strict comparison (gap > quiet), ties on the
+    timestamp break by ``seq_col``, NULL timestamps are dropped — all
+    the sessionize contracts, so the q91 oracle replays one lag.
+
+    Scale shape: ONE Exchange (the key window), a codegen filter, no
+    join, no state. Output: the surviving input rows unchanged.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tie = (F.col(seq_col).cast("long") if seq_col
+           else F.lit(0).cast("long"))
+    base = (
+        events.where(F.col(ts_col).isNotNull())
+        .withColumn("_us", _micros(F.col(ts_col)))
+        .withColumn("_tie", tie)
+    )
+    w = Window.partitionBy(*keys).orderBy("_us", "_tie")
+    gap_us = int(quiet_seconds) * 1_000_000
+    prev = F.lag("_us").over(w)
+    return (
+        base.withColumn("_prev", prev)
+        .where(F.col("_prev").isNull()
+               | (F.col("_us") - F.col("_prev") > F.lit(gap_us)))
+        .drop("_us", "_tie", "_prev")
+    )

@@ -4852,3 +4852,101 @@ class TestMixedLanguageStats:
             [(1, " ".join(["w"] * 50))], "doc_id long, text string")
         r = quality.mixed_language_stats(df, chunk_tokens=20).collect()[0]
         assert r.n_chunks == 3  # 50 tokens / 20 -> chunks at 0, 20, 40
+
+
+class TestRrfFuse:
+    def test_consensus_item_wins(self, spark):
+        from generative_ner_spark.operators import bm25
+
+        # doc 1 is rank 2 in BOTH lists; docs 2/3 are rank 1 in one
+        # list each and absent from the other -> 1 fuses highest
+        r1 = spark.createDataFrame(
+            [(2, 1), (1, 2), (4, 3)], "doc_id long, rank int")
+        r2 = spark.createDataFrame(
+            [(3, 1), (1, 2), (5, 3)], "doc_id long, rank int")
+        out = {r.doc_id: r for r in
+               bm25.rrf_fuse([r1, r2], k=60).collect()}
+        assert out[1].rank == 1 and out[1].n_lists == 2
+        # 2/(60+2) > 1/(60+1): consensus beats single first place
+        assert out[1].rrf_score > out[2].rrf_score
+        assert out[2].rank == 2  # tie with 3 broken by smaller id
+        assert out[3].rank == 3
+
+    def test_top_k_bounds_output(self, spark):
+        from generative_ner_spark.operators import bm25
+
+        r = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "doc_id long, rank int")
+        assert bm25.rrf_fuse([r], top_k=5).count() == 5
+
+
+class TestAdamicAdar:
+    def test_weights_and_exclusion(self, spark):
+        from generative_ner_spark.operators import graph
+        import math
+
+        # star: z connects a,b,c; plus existing edge a-b
+        edges = spark.createDataFrame(
+            [("z", "a"), ("z", "b"), ("z", "c"), ("a", "b")],
+            "src string, dst string")
+        out = {(r.a, r.b): r for r in graph.adamic_adar(edges).collect()}
+        # (a, b) IS an edge: excluded. (a, c) and (b, c) share z (deg 3)
+        assert ("a", "b") not in out
+        w = round(1 / math.log(3), 6)
+        assert out[("a", "c")].aa == w and out[("a", "c")].n_common == 1
+        assert out[("b", "c")].aa == w
+        # (a,z) etc. never appear: adjacent or not two-hop
+        kept = graph.adamic_adar(edges, exclude_existing=False).collect()
+        assert {(r.a, r.b) for r in kept} >= {("a", "b")}
+
+    def test_common_neighbor_count(self, spark):
+        from generative_ner_spark.operators import graph
+        import math
+
+        # a and b share TWO neighbors: z1 (deg 2) and z2 (deg 3)
+        edges = spark.createDataFrame(
+            [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2"),
+             ("c", "z2")],
+            "src string, dst string")
+        out = {(r.a, r.b): r for r in graph.adamic_adar(edges).collect()}
+        r = out[("a", "b")]
+        assert r.n_common == 2
+        assert r.aa == round(1 / math.log(2) + 1 / math.log(3), 6)
+
+
+class TestThrottleEvents:
+    def test_island_firsts_survive(self, spark):
+        from datetime import datetime, timedelta
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, 1, t0),                              # island 1 first
+            (2, 1, t0 + timedelta(seconds=100)),     # suppressed
+            (3, 1, t0 + timedelta(seconds=200)),     # suppressed
+            (4, 1, t0 + timedelta(seconds=4000)),    # island 2 first
+            (5, 2, t0),                              # other key: kept
+            (6, 2, None),                            # null ts: dropped
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp")
+        kept = {r.event_id for r in temporal.throttle_events(
+            df, "user_id", quiet_seconds=3600, seq_col="event_id"
+        ).collect()}
+        assert kept == {1, 4, 5}
+
+    def test_strict_gap_and_tie_by_seq(self, spark):
+        from datetime import datetime, timedelta
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(1, 1, t0), (2, 1, t0),  # tie: seq orders, 2 suppressed
+                (3, 1, t0 + timedelta(seconds=60))]  # gap == quiet: NOT kept
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp")
+        kept = {r.event_id for r in temporal.throttle_events(
+            df, "user_id", quiet_seconds=60, seq_col="event_id"
+        ).collect()}
+        assert kept == {1}
