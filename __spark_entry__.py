@@ -1684,6 +1684,68 @@ def q91_throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts").orderBy("event_id")
 
 
+def q92_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-mention context extraction (detect.
+    mention_context_windows): every occurrence of a 3-term catalog with
+    ±5 tokens of context — the corpus → NER-training-examples export.
+    Pure narrow codegen, ZERO shuffle."""
+    from generative_ner_spark.operators import detect
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return detect.mention_context_windows(
+        d, terms=["spark", "table", "query"], window=5,
+    ).orderBy("doc_id", "pos")
+
+
+def q93_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training negatives (triples.negative_samples —
+    filtered TransE protocol): (supplier, supplies, part) positives
+    from every 20th order, k=2 md5-indexed corruptions against the
+    rank-ordered part catalog, false negatives dropped via a slim
+    anti-join. Deterministic: the training set is byte-identical on
+    every run and engine."""
+    from generative_ner_spark.operators import triples as T
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 20 == 0)
+    pos = li.select(
+        F.col("l_suppkey").alias("subj_id"),
+        F.lit("supplies").alias("pred"),
+        F.col("l_partkey").alias("obj_id"),
+    ).distinct()
+    ents = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("entity_id"))
+    return T.negative_samples(pos, ents, k=2).orderBy(
+        "subj_id", "pred", "neg_obj", "slot")
+
+
+def q94_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit — the composition a real pretraining run
+    MUST ship: md5-interval split assignment (q44) x MinHash-LSH
+    near-dup pairs (q20, md5 family) filtered to pairs that straddle a
+    split boundary. Every such pair is an eval answer leaked into
+    train. Pair machinery + two slim split joins."""
+    salted = _truncated_salted_docs(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("string"))
+    pairs = dedup.near_duplicate_pairs_minhash(
+        salted, jaccard_threshold=0.8, max_bucket=1 << 30,
+        hash_family="md5")
+    spl = quality.assign_split(
+        salted.select("doc_id"),
+        {"train": 0.9, "valid": 0.05, "test": 0.05})
+    return (
+        pairs
+        .join(spl.select(F.col("doc_id").alias("a"),
+                         F.col("split").alias("split_a")), "a")
+        .join(spl.select(F.col("doc_id").alias("b"),
+                         F.col("split").alias("split_b")), "b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"),
+                "split_a", "split_b")
+        .orderBy("a", "b")
+    )
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1833,6 +1895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_rrf_fusion": q89_rrf_fusion,
         "q90_adamic_adar": q90_adamic_adar,
         "q91_throttle_events": q91_throttle_events,
+        "q92_mention_contexts": q92_mention_contexts,
+        "q93_negative_samples": q93_negative_samples,
+        "q94_cross_split_leakage": q94_cross_split_leakage,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -2042,6 +2107,30 @@ def _minhash_pairs_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
         WITH {parts['ctes']}
         SELECT a, b, round(jaccard, 4) AS jaccard FROM pairs
         ORDER BY a, b"""
+
+
+def _cross_split_leakage_sql() -> str:
+    """q94 oracle: the q20 pair machinery + the q44 md5-interval split
+    CASE applied to both pair sides; only boundary-straddling pairs
+    survive."""
+    parts = _minhash_sql_parts(k=64, bands=8, shingle_n=5, threshold=0.8)
+    split_case = (
+        "CASE WHEN CAST('0x' || substring(md5('split:' || doc_id), 1, 15)"
+        " AS BIGINT) % 1000000 < 50000 THEN 'test' "
+        "WHEN CAST('0x' || substring(md5('split:' || doc_id), 1, 15)"
+        " AS BIGINT) % 1000000 < 950000 THEN 'train' "
+        "ELSE 'valid' END"
+    )
+    return f"""
+        WITH {parts['ctes']},
+        spl AS (SELECT doc_id, {split_case} AS split FROM docs)
+        SELECT p.a, p.b, round(p.jaccard, 4) AS jaccard,
+               sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN spl sa ON sa.doc_id = p.a
+        JOIN spl sb ON sb.doc_id = p.b
+        WHERE sa.split != sb.split
+        ORDER BY p.a, p.b"""
 
 
 def _dup_clusters_sql(k: int = 64, bands: int = 8, shingle_n: int = 5,
@@ -4016,6 +4105,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE ts IS NOT NULL)
             WHERE prev IS NULL OR us - prev > 7200000000
             ORDER BY event_id""",
+        # q92: unnest-with-position + IN filter + inclusive slice
+        "q92_mention_contexts": """
+            WITH tk AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t, i - 1 AS pos, lower(t[i]) AS term
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t))) AS i
+                      FROM tk)
+                WHERE lower(t[i]) IN ('spark', 'table', 'query')
+            )
+            SELECT doc_id, pos, term,
+                   array_to_string(
+                       t[greatest(pos + 1 - 5, 1):
+                         least(pos + 1 + 5, len(t))], ' ') AS context
+            FROM pos ORDER BY doc_id, pos""",
+        # q93: md5-indexed corruption against the rank-ordered part
+        # catalog, filtered setting (NOT EXISTS against positives)
+        "q93_negative_samples": """
+            WITH pos AS (
+                SELECT DISTINCT l_suppkey AS subj_id,
+                       'supplies' AS pred, l_partkey AS obj_id
+                FROM lineitem WHERE l_orderkey % 20 = 0
+            ), ents AS (
+                SELECT p_partkey AS entity_id,
+                       row_number() OVER (ORDER BY p_partkey ASC) - 1
+                           AS r
+                FROM part
+            ), n AS (SELECT count(*) AS c FROM ents),
+            cand AS (
+                SELECT subj_id, pred, obj_id, slot,
+                       CAST('0x' || substring(md5('neg:'
+                           || CAST(subj_id AS VARCHAR) || ':' || pred
+                           || ':' || CAST(obj_id AS VARCHAR) || ':'
+                           || CAST(slot AS VARCHAR)), 1, 15) AS BIGINT)
+                           % (SELECT c FROM n) AS r
+                FROM pos, unnest([0, 1]) AS u(slot)
+            )
+            SELECT c.subj_id, c.pred, e.entity_id AS neg_obj,
+                   CAST(c.slot AS INTEGER) AS slot
+            FROM cand c JOIN ents e USING (r)
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.subj_id = c.subj_id
+                                AND p.pred = c.pred
+                                AND p.obj_id = e.entity_id)
+            ORDER BY c.subj_id, c.pred, neg_obj, slot""",
+        # q94: q20's pair CTEs + the q44 split CASE on both pair sides,
+        # keep only boundary-straddling pairs
+        "q94_cross_split_leakage": _cross_split_leakage_sql(),
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

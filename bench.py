@@ -102,6 +102,9 @@ HEADLINE = [
     "q89_rrf_fusion",
     "q90_adamic_adar",
     "q91_throttle_events",
+    "q92_mention_contexts",
+    "q93_negative_samples",
+    "q94_cross_split_leakage",
     "kg_mention_counts",
     "kg_triples",
 ]

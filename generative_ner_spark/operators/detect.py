@@ -613,3 +613,50 @@ def prune_contained_mentions(mentions: DataFrame) -> DataFrame:
         ),
     )
     return joined.where(~contained).drop("_all")
+
+
+def mention_context_windows(
+    df,
+    terms: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+):
+    """Lexicon-mention context extraction — the NER-training-data export
+    pass ("every occurrence of a catalog term with ±``window`` tokens of
+    context"), the bridge from a raw corpus to annotation/weak-label
+    examples for the generative NER stages. Matching is case-insensitive
+    whole-token equality against ``terms``; output one row per
+    occurrence: ``(id, pos, term, context)`` with ``pos`` the 0-based
+    token index, ``term`` the lowercased matched token, ``context`` the
+    original tokens ``[pos-window, pos+window]`` rejoined with spaces.
+
+    Scale shape: pure narrow codegen — tokenize once, posexplode, a
+    literal isin filter (lexicons are catalog-sized; swap for a
+    broadcast join past ~10^4 terms), slice + array_join for the
+    context. ZERO shuffle: mention rows stay partitioned like the
+    corpus. Fully SQL-expressible => full q92 oracle.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \t\n\x0b\f\r]+"),
+        lambda x: x != F.lit(""))
+    low = [t.lower() for t in terms]
+    start1 = F.greatest(F.col("pos") + 1 - F.lit(window), F.lit(1))
+    end1 = F.least(F.col("pos") + 1 + F.lit(window), F.size("_tk"))
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .select(id_col, "_tk",
+                F.posexplode("_tk").alias("pos", "_tok"))
+        .where(F.lower(F.col("_tok")).isin(low))
+        .select(
+            id_col,
+            "pos",
+            F.lower(F.col("_tok")).alias("term"),
+            F.array_join(
+                F.slice(F.col("_tk"), start1, end1 - start1 + F.lit(1)),
+                " ",
+            ).alias("context"),
+        )
+    )

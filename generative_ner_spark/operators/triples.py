@@ -233,3 +233,71 @@ def read_triples_snapshot(spark, path: str, version: int | None = None) -> DataF
     if v not in versions:
         raise ValueError(f"snapshot v={v} not in manifest (have {sorted(versions)})")
     return spark.read.parquet(_os.path.join(path, f"v={v}"))
+
+
+def negative_samples(
+    positives: DataFrame,
+    entities: DataFrame,
+    k: int = 2,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+    ent_col: str = "entity_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """KG-embedding training negatives (the TransE/Bordes et al. 2013
+    protocol, FILTERED setting): for every positive (s, p, o) and slot
+    ``i`` in [0, k), corrupt the object with the entity at
+    ``md5(salt:s:p:o:i) mod N`` in the rank-ordered entity catalog —
+    deterministic, so the training set is byte-identical on every run
+    and engine — then DROP corruptions that collide with ANY true
+    (s, p, ·) triple (false negatives). Output: (subj, pred, neg_obj,
+    slot).
+
+    Scale shape: the entity catalog is ranked once (catalog-sized
+    window — fine at ontology scale; shard the rank join for a 10^9
+    catalog) and broadcast into the rank equi-join; candidates are one
+    narrow explode of the positive set; the false-negative filter is a
+    slim anti-join on (s, p, obj). Fully SQL-expressible => full q93
+    oracle.
+    """
+    from pyspark.sql import Window
+
+    n = entities.select(ent_col).distinct().count()
+    if n == 0:
+        raise ValueError("negative_samples: empty entity catalog")
+    ranked = (
+        entities.select(ent_col).distinct()
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.orderBy(F.col(ent_col).asc()))
+            - F.lit(1),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt),
+                F.col(subj_col).cast("string"),
+                F.col(pred_col).cast("string"),
+                F.col(obj_col).cast("string"),
+                F.col("slot").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    cand = (
+        positives.select(
+            subj_col, pred_col, obj_col,
+            F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
+            .alias("slot"))
+        .withColumn("_r", F.pmod(h, F.lit(int(n))))
+    )
+    joined = cand.join(F.broadcast(ranked), "_r").select(
+        subj_col, pred_col,
+        F.col(ent_col).alias("neg_obj"), "slot",
+    )
+    truth = positives.select(
+        F.col(subj_col), F.col(pred_col),
+        F.col(obj_col).alias("neg_obj"))
+    return joined.join(truth, [subj_col, pred_col, "neg_obj"], "left_anti")

@@ -4950,3 +4950,65 @@ class TestThrottleEvents:
             df, "user_id", quiet_seconds=60, seq_col="event_id"
         ).collect()}
         assert kept == {1}
+
+
+class TestMentionContextWindows:
+    def test_positions_context_and_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c Spark d e f g"), (2, "spark"), (3, "no hits")],
+            "doc_id long, text string")
+        out = {(r.doc_id, r.pos): r for r in
+               detect.mention_context_windows(
+                   df, ["spark"], window=2).collect()}
+        assert set(out) == {(1, 3), (2, 0)}
+        r = out[(1, 3)]
+        assert r.term == "spark"          # lowercased match
+        assert r.context == "b c Spark d e"  # original case kept
+        assert out[(2, 0)].context == "spark"  # window clipped at edges
+
+    def test_multiple_occurrences_and_zero_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x q x q x")], "doc_id long, text string")
+        out = detect.mention_context_windows(df, ["q"], window=1)
+        assert sorted(r.pos for r in out.collect()) == [1, 3]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestNegativeSamples:
+    def _frames(self, spark):
+        from generative_ner_spark.operators import triples as T
+
+        pos = spark.createDataFrame(
+            [(1, "p", 10), (1, "p", 11), (2, "p", 10)],
+            "subj_id long, pred string, obj_id long")
+        ents = spark.createDataFrame(
+            [(e,) for e in (10, 11, 12, 13)], "entity_id long")
+        return T, pos, ents
+
+    def test_deterministic_and_filtered(self, spark):
+        T, pos, ents = self._frames(spark)
+        a = sorted(map(tuple, T.negative_samples(pos, ents, k=3).collect()))
+        b = sorted(map(tuple, T.negative_samples(pos, ents, k=3).collect()))
+        assert a == b and len(a) > 0
+        # FILTERED: no emitted negative collides with a true (s, p, o)
+        truth = {(1, "p", 10), (1, "p", 11), (2, "p", 10)}
+        assert all((s, p, o) not in truth for s, p, o, _ in a)
+        # every negative comes from the catalog
+        assert all(o in (10, 11, 12, 13) for _, _, o, _ in a)
+
+    def test_empty_catalog_raises(self, spark):
+        import pytest as _pytest
+
+        T, pos, _ = self._frames(spark)
+        empty = spark.createDataFrame([], "entity_id long")
+        with _pytest.raises(ValueError):
+            T.negative_samples(pos, empty)
+
+    def test_salt_changes_corruptions(self, spark):
+        T, pos, ents = self._frames(spark)
+        a = sorted(map(tuple, T.negative_samples(
+            pos, ents, k=2, salt="neg").collect()))
+        b = sorted(map(tuple, T.negative_samples(
+            pos, ents, k=2, salt="other").collect()))
+        assert a != b  # different salt, different (valid) training set
