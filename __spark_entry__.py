@@ -1746,6 +1746,49 @@ def q94_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_bounded_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure (graph.bounded_closure): a synthetic
+    part_of forest (partkey -> partkey/10 for keys >= 10) expanded to
+    all ancestors within 3 hops with minimal depth — the ontology-
+    subsumption materialization. One Exchange per round, anti-join
+    keeps minimal depths, localCheckpoint per round."""
+    from generative_ner_spark.operators import graph
+
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    edges = p.where(F.col("p_partkey") >= 10).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") / 10).cast("long").alias("dst"),
+    )
+    return graph.bounded_closure(edges, max_depth=3).orderBy(
+        "src", "depth", "dst")
+
+
+def q96_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-table pivot (triples.property_table): customer triples
+    (order status / priority / date assertions) denormalized into one
+    wide row per customer — the SPARQL property-table serving layout.
+    ONE map-side-combined groupBy; explicit predicate list compiles to
+    min(CASE) aggregates."""
+    from generative_ner_spark.operators import triples as T
+
+    o = _t(spark, sf_dir, "orders")
+    tr = (
+        o.select(F.col("o_custkey").alias("subj_id"),
+                 F.lit("status").alias("pred"),
+                 F.col("o_orderstatus").alias("obj_id"))
+        .unionByName(o.select(
+            F.col("o_custkey").alias("subj_id"),
+            F.lit("priority").alias("pred"),
+            F.col("o_orderpriority").alias("obj_id")))
+        .unionByName(o.select(
+            F.col("o_custkey").alias("subj_id"),
+            F.lit("order_date").alias("pred"),
+            F.col("o_orderdate").cast("string").alias("obj_id")))
+    )
+    return T.property_table(
+        tr, ["status", "priority", "order_date"]).orderBy("subj_id")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1898,6 +1941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_mention_contexts": q92_mention_contexts,
         "q93_negative_samples": q93_negative_samples,
         "q94_cross_split_leakage": q94_cross_split_leakage,
+        "q95_bounded_closure": q95_bounded_closure,
+        "q96_property_table": q96_property_table,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -4156,6 +4201,57 @@ def oracle_sql() -> dict[str, str]:
         # q94: q20's pair CTEs + the q44 split CASE on both pair sides,
         # keep only boundary-straddling pairs
         "q94_cross_split_leakage": _cross_split_leakage_sql(),
+        # q95: three unrolled closure rounds, minimal depth via
+        # NOT EXISTS against earlier rounds; trunc() not CAST — DuckDB
+        # double->int casts round half-even while Spark truncates
+        "q95_bounded_closure": """
+            WITH e AS (
+                SELECT p_partkey AS src,
+                       CAST(trunc(p_partkey / 10.0) AS BIGINT) AS dst
+                FROM part WHERE p_partkey >= 10
+            ), d1 AS (
+                SELECT DISTINCT src, dst, 1 AS depth FROM e
+            ), d2 AS (
+                SELECT DISTINCT a.src, b.dst, 2 AS depth
+                FROM d1 a JOIN e b ON a.dst = b.src
+                WHERE a.src != b.dst
+                  AND NOT EXISTS (SELECT 1 FROM d1
+                                  WHERE d1.src = a.src
+                                    AND d1.dst = b.dst)
+            ), d3 AS (
+                SELECT DISTINCT a.src, b.dst, 3 AS depth
+                FROM d2 a JOIN e b ON a.dst = b.src
+                WHERE a.src != b.dst
+                  AND NOT EXISTS (SELECT 1 FROM d1
+                                  WHERE d1.src = a.src
+                                    AND d1.dst = b.dst)
+                  AND NOT EXISTS (SELECT 1 FROM d2 x
+                                  WHERE x.src = a.src
+                                    AND x.dst = b.dst)
+            )
+            SELECT src, dst, depth FROM d1
+            UNION ALL SELECT src, dst, depth FROM d2
+            UNION ALL SELECT src, dst, depth FROM d3
+            ORDER BY src, depth, dst""",
+        # q96: pivot == per-pred min(CASE) over the same triple union
+        "q96_property_table": """
+            WITH tr AS (
+                SELECT o_custkey AS subj_id, 'status' AS pred,
+                       o_orderstatus AS obj_id FROM orders
+                UNION ALL
+                SELECT o_custkey, 'priority', o_orderpriority FROM orders
+                UNION ALL
+                SELECT o_custkey, 'order_date',
+                       CAST(o_orderdate AS VARCHAR) FROM orders
+            )
+            SELECT subj_id,
+                   min(CASE WHEN pred = 'status' THEN obj_id END)
+                       AS status,
+                   min(CASE WHEN pred = 'priority' THEN obj_id END)
+                       AS priority,
+                   min(CASE WHEN pred = 'order_date' THEN obj_id END)
+                       AS order_date
+            FROM tr GROUP BY subj_id ORDER BY subj_id""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

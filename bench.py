@@ -105,6 +105,8 @@ HEADLINE = [
     "q92_mention_contexts",
     "q93_negative_samples",
     "q94_cross_split_leakage",
+    "q95_bounded_closure",
+    "q96_property_table",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -628,3 +628,45 @@ def adamic_adar(
         e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         pairs = pairs.join(e, ["a", "b"], "left_anti")
     return pairs.where(F.col("aa") >= min_score)
+
+
+def bounded_closure(
+    edges: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Bounded transitive closure of a DIRECTED edge list ``(src, dst)``
+    -> ``(src, dst, depth)``: every pair connected by a path of length
+    <= ``max_depth``, with the MINIMAL path length — the ontology-
+    subsumption expansion ("all ancestors within 3 hops of part_of /
+    subclass_of") every KG type system materializes for query time.
+
+    Scale shape (the khop argument generalized to all sources at once):
+    the adjacency is repartitioned on src and persisted; each round
+    extends the frontier by ONE join against it and anti-joins pairs
+    already reached (minimal depth wins — a pair re-reached by a longer
+    path never survives); localCheckpoint truncates lineage per round.
+    Rounds = max_depth, each ONE Exchange on the join key. Bounded
+    depth keeps the result polynomial — the full closure of a deep
+    hierarchy is the caller's (documented) responsibility.
+    """
+    adj = edges.select("src", "dst").distinct().repartition("src").persist()
+    reached = adj.select("src", "dst", F.lit(1).alias("depth"))
+    reached = reached.localCheckpoint()
+    frontier = reached
+    for d in range(2, int(max_depth) + 1):
+        step = (
+            frontier.select(F.col("src"), F.col("dst").alias("_mid"))
+            .join(adj.select(F.col("src").alias("_mid"),
+                             F.col("dst")), "_mid")
+            .select("src", "dst")
+            .distinct()
+            .where(F.col("src") != F.col("dst"))  # no self-loops
+            .join(reached.select("src", "dst"), ["src", "dst"],
+                  "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint()
+        )
+        reached = reached.unionByName(step).localCheckpoint()
+        frontier = step
+    adj.unpersist()
+    return reached

@@ -301,3 +301,31 @@ def negative_samples(
         F.col(subj_col), F.col(pred_col),
         F.col(obj_col).alias("neg_obj"))
     return joined.join(truth, [subj_col, pred_col, "neg_obj"], "left_anti")
+
+
+def property_table(
+    triples: DataFrame,
+    preds: list,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """Property-table materialization — the KG-serving denormalization:
+    pivot the narrow (subj, pred, obj) stream into ONE wide row per
+    subject with a column per predicate in ``preds`` (the classic
+    SPARQL-engine "property table" layout that turns N self-joins into
+    one scan). Multi-valued predicates resolve to the MINIMUM object
+    (deterministic; run resolve_conflicts first for majority-vote
+    semantics); subjects missing a predicate get NULL.
+
+    Scale shape: ONE map-side-combined groupBy on the subject — the
+    pivot with an EXPLICIT predicate list compiles to per-column
+    min(CASE WHEN pred=... ) aggregates, no second pass and no
+    pred-discovery job (an open-ended pivot would scan once just to
+    enumerate columns). Fully SQL-expressible => full q96 oracle.
+    """
+    return (
+        triples.groupBy(subj_col)
+        .pivot(pred_col, list(preds))
+        .agg(F.min(obj_col))
+    )

@@ -5012,3 +5012,54 @@ class TestNegativeSamples:
         b = sorted(map(tuple, T.negative_samples(
             pos, ents, k=2, salt="other").collect()))
         assert a != b  # different salt, different (valid) training set
+
+
+class TestBoundedClosure:
+    def test_chain_minimal_depths(self, spark):
+        from generative_ner_spark.operators import graph
+
+        # chain a -> b -> c -> d -> e plus shortcut a -> c
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")],
+            "src string, dst string")
+        out = {(r.src, r.dst): r.depth for r in
+               graph.bounded_closure(edges, max_depth=3).collect()}
+        assert out[("a", "b")] == 1
+        assert out[("a", "c")] == 1     # shortcut wins over the 2-path
+        assert out[("a", "d")] == 2     # via the shortcut, not 3
+        assert out[("a", "e")] == 3
+        assert out[("b", "e")] == 3
+        assert ("a", "a") not in out    # no self-loops
+
+    def test_depth_bound_respected(self, spark):
+        from generative_ner_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long")
+        out = graph.bounded_closure(edges, max_depth=2).collect()
+        assert max(r.depth for r in out) == 2
+        assert (0, 3) not in {(r.src, r.dst) for r in out}  # 3 hops away
+
+
+class TestPropertyTable:
+    def test_pivot_min_policy_and_nulls(self, spark):
+        from generative_ner_spark.operators import triples as T
+
+        tr = spark.createDataFrame(
+            [("s1", "type", "b"), ("s1", "type", "a"),  # multi: min wins
+             ("s1", "name", "x"),
+             ("s2", "type", "c")],                       # no name: NULL
+            "subj_id string, pred string, obj_id string")
+        out = {r.subj_id: r for r in
+               T.property_table(tr, ["type", "name"]).collect()}
+        assert out["s1"].type == "a" and out["s1"].name == "x"
+        assert out["s2"].type == "c" and out["s2"].name is None
+
+    def test_unlisted_pred_ignored(self, spark):
+        from generative_ner_spark.operators import triples as T
+
+        tr = spark.createDataFrame(
+            [("s", "keep", "v"), ("s", "drop_me", "w")],
+            "subj_id string, pred string, obj_id string")
+        out = T.property_table(tr, ["keep"])
+        assert out.columns == ["subj_id", "keep"]
