@@ -1789,6 +1789,62 @@ def q96_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr, ["status", "priority", "order_date"]).orderBy("subj_id")
 
 
+def q97_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Tukey-fence outlier flagging (quality.iqr_outliers):
+    each doc judged against ITS LANGUAGE's length quartiles. One
+    map-side-combined percentile agg broadcast back; fences rounded to
+    the 1e-6 grid on both engines (the documented cross-engine
+    contract for fence ARITHMETIC, vs q72's bare order-statistic
+    compare)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quality.iqr_outliers(
+        d, group_col="lang", value_col="n_chars",
+    ).select("doc_id", "lang", "n_chars", "lo_fence", "hi_fence",
+             "is_outlier").orderBy("doc_id")
+
+
+def q98_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank, 3 rounds,
+    damping 0.85) over the 1/3-sparsified co-occurrence graph with
+    every 101st part as the seed set — 'entities related to THIS query
+    set', the KG recommendation primitive. PageRank's per-iteration
+    ONE-Exchange shape; the oracle unrolls the identical updates with
+    the seed-teleport CASE."""
+    from generative_ner_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(
+        li, basket_col="l_orderkey", item_col="l_partkey")
+    seeds = _t(spark, sf_dir, "part").where(
+        F.col("p_partkey") % 101 == 0).select(
+        F.col("p_partkey").alias("node"))
+    return graph.personalized_pagerank(
+        edges, seeds, n_iter=3, damping=0.85).orderBy("node")
+
+
+def q99_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus's own df>=5 pruned
+    vocabulary (tfidf.oov_rate) — the tokenizer-prep hapax-soup gate.
+    One persisted (doc, term) count feeds the df agg AND the broadcast
+    membership join."""
+    from generative_ner_spark.operators import tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf.oov_rate(d, min_df=5).select(
+        F.col("id").alias("doc_id"), "n_tok", "n_oov", "oov_ratio",
+    ).orderBy("doc_id")
+
+
+def q100_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row corpus health dashboard (quality.corpus_health_report):
+    docs, tokens, vocabulary size, exact-dup ratio, mean doc length —
+    the before/after numbers every curation stage logs. Two map-side-
+    combined aggregate passes, one-row cross join."""
+    d = _t(spark, sf_dir, "documents")
+    return quality.corpus_health_report(d)
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -1943,6 +1999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_cross_split_leakage": q94_cross_split_leakage,
         "q95_bounded_closure": q95_bounded_closure,
         "q96_property_table": q96_property_table,
+        "q97_iqr_outliers": q97_iqr_outliers,
+        "q98_personalized_pagerank": q98_personalized_pagerank,
+        "q99_oov_rate": q99_oov_rate,
+        "q100_corpus_health": q100_corpus_health,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -4252,6 +4312,133 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN pred = 'order_date' THEN obj_id END)
                        AS order_date
             FROM tr GROUP BY subj_id ORDER BY subj_id""",
+        # q97: per-lang quartiles, round-6 fences on BOTH sides before
+        # the comparison (fence arithmetic can land between order
+        # statistics — the rounding grid is the documented contract)
+        "q97_iqr_outliers": """
+            WITH t AS (
+                SELECT doc_id, lang, n_chars,
+                       round(quantile_cont(n_chars, 0.25) OVER w
+                             - 1.5 * (quantile_cont(n_chars, 0.75) OVER w
+                                      - quantile_cont(n_chars, 0.25)
+                                        OVER w), 6) AS lo_fence,
+                       round(quantile_cont(n_chars, 0.75) OVER w
+                             + 1.5 * (quantile_cont(n_chars, 0.75) OVER w
+                                      - quantile_cont(n_chars, 0.25)
+                                        OVER w), 6) AS hi_fence
+                FROM documents
+                WINDOW w AS (PARTITION BY lang)
+            )
+            SELECT doc_id, lang, n_chars, lo_fence, hi_fence,
+                   n_chars < lo_fence OR n_chars > hi_fence AS is_outlier
+            FROM t ORDER BY doc_id""",
+        # q98: three unrolled PPR rounds; teleport CASE over the seed
+        # set, (1 - 0.85) computed in-engine for bit parity
+        "q98_personalized_pagerank": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem WHERE l_orderkey % 3 = 0
+            ), edges AS (
+                SELECT a.it AS s, b.it AS d FROM items a
+                JOIN items b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY a.it, b.it
+            ), sym AS (
+                SELECT s AS src, d AS dst FROM edges
+                UNION ALL SELECT d AS src, s AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, COUNT(*) AS degree FROM sym
+                GROUP BY src
+            ), sn AS (
+                SELECT COUNT(*) AS c FROM deg WHERE node % 101 = 0
+            ), tele AS (
+                SELECT deg.node,
+                       CASE WHEN deg.node % 101 = 0
+                            THEN CAST(1 AS DOUBLE) / sn.c
+                            ELSE CAST(0 AS DOUBLE) END AS s
+                FROM deg CROSS JOIN sn
+            ), r0 AS (
+                SELECT node, s AS pr FROM tele
+            ), r1 AS (
+                SELECT tele.node,
+                       (CAST(1 AS DOUBLE) - 0.85) * tele.s
+                       + 0.85 * COALESCE(x.acc, 0) AS pr
+                FROM tele
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r0 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = tele.node
+            ), r2 AS (
+                SELECT tele.node,
+                       (CAST(1 AS DOUBLE) - 0.85) * tele.s
+                       + 0.85 * COALESCE(x.acc, 0) AS pr
+                FROM tele
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r1 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = tele.node
+            ), r3 AS (
+                SELECT tele.node,
+                       (CAST(1 AS DOUBLE) - 0.85) * tele.s
+                       + 0.85 * COALESCE(x.acc, 0) AS pr
+                FROM tele
+                LEFT JOIN (SELECT sym.dst AS node,
+                                  SUM(p.pr / dg.degree) AS acc
+                           FROM sym JOIN r2 p ON p.node = sym.src
+                                    JOIN deg dg ON dg.node = sym.src
+                           GROUP BY sym.dst) x ON x.node = tele.node
+            )
+            SELECT r3.node, deg.degree, round(r3.pr, 6) AS pr
+            FROM r3 JOIN deg ON deg.node = r3.node
+            ORDER BY r3.node""",
+        # q99: tf/df replay + pruned-vocab membership (NULL => OOV)
+        "q99_oov_rate": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                           lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                           x -> x != '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS c
+                FROM tok GROUP BY doc_id, term
+            ), vocab AS (
+                SELECT term FROM tf GROUP BY term
+                HAVING count(*) >= 5
+            ), agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                       CAST(sum(CASE WHEN term IN
+                                     (SELECT term FROM vocab)
+                                THEN 0 ELSE c END) AS BIGINT) AS n_oov
+                FROM tf GROUP BY doc_id
+            )
+            SELECT doc_id, n_tok, n_oov,
+                   round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE),
+                         6) AS oov_ratio
+            FROM agg ORDER BY doc_id""",
+        # q100: rowwise aggregates + vocabulary count, one-row report
+        "q100_corpus_health": """
+            WITH tk AS (
+                SELECT list_filter(regexp_split_to_array(lower(text),
+                           '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS t,
+                       md5(text) AS h
+                FROM documents
+            ), row1 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+                       CAST(count(DISTINCT h) AS BIGINT) AS nd
+                FROM tk
+            ), voc AS (
+                SELECT CAST(count(DISTINCT u) AS BIGINT)
+                           AS n_distinct_terms
+                FROM (SELECT unnest(t) AS u FROM tk)
+            )
+            SELECT n_docs, n_tokens, n_distinct_terms,
+                   round(1.0 - CAST(nd AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) AS exact_dup_ratio,
+                   round(CAST(n_tokens AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) AS mean_doc_tokens
+            FROM row1 CROSS JOIN voc""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

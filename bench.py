@@ -107,6 +107,10 @@ HEADLINE = [
     "q94_cross_split_leakage",
     "q95_bounded_closure",
     "q96_property_table",
+    "q97_iqr_outliers",
+    "q98_personalized_pagerank",
+    "q99_oov_rate",
+    "q100_corpus_health",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -873,3 +873,90 @@ def mixed_language_stats(
             ).alias("mixed_ratio"),
         )
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    factor: float = 1.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tukey-fence outlier flagging PER GROUP: a row is an outlier iff
+    its value falls outside ``[q1 - factor*iqr, q3 + factor*iqr]`` of
+    its OWN group — the standard data-quality gate ("absurdly long docs
+    for this language") that a global fence can't express. Adds
+    ``lo_fence`` / ``hi_fence`` (round-``round_to``) and
+    ``is_outlier``; keeps every row (flagging, not filtering — chain
+    ``.where(~is_outlier)`` to drop).
+
+    Scale shape: ONE map-side-combined percentile agg per group
+    (group-count-sized, broadcast back), then a codegen comparison.
+    Fences are ROUNDED before comparison on both engines — unlike the
+    bare quantile gate (q72), fence arithmetic can land between order
+    statistics, so the round-6 grid is the documented cross-engine
+    contract (q97 oracle).
+    """
+    qagg = (
+        F.percentile(F.col(value_col), F.array(F.lit(0.25), F.lit(0.75)))
+        if exact
+        else F.percentile_approx(
+            F.col(value_col), F.array(F.lit(0.25), F.lit(0.75)),
+            F.lit(accuracy))
+    )
+    thr = df.groupBy(group_col).agg(qagg.alias("_q"))
+    thr = thr.select(
+        group_col,
+        F.round(
+            F.element_at("_q", 1)
+            - F.lit(float(factor))
+            * (F.element_at("_q", 2) - F.element_at("_q", 1)),
+            round_to,
+        ).alias("lo_fence"),
+        F.round(
+            F.element_at("_q", 2)
+            + F.lit(float(factor))
+            * (F.element_at("_q", 2) - F.element_at("_q", 1)),
+            round_to,
+        ).alias("hi_fence"),
+    )
+    return df.join(F.broadcast(thr), group_col).withColumn(
+        "is_outlier",
+        (F.col(value_col) < F.col("lo_fence"))
+        | (F.col(value_col) > F.col("hi_fence")),
+    )
+
+
+def corpus_health_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-row corpus dashboard — the numbers a curation run logs before
+    and after every stage: ``n_docs``, ``n_tokens`` (whitespace),
+    ``n_distinct_terms`` (lowercased vocabulary), ``exact_dup_ratio``
+    (1 − distinct md5(text)/docs) and ``mean_doc_tokens`` (round-6).
+
+    Scale shape: one pass for the rowwise aggregates (count / sum /
+    distinct-hash), one explode + distinct-count for the vocabulary —
+    both map-side combined; the two one-row frames cross-join. Fully
+    SQL-expressible => full q100 oracle.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+"),
+        lambda t: t != F.lit(""))
+    base = df.select(toks.alias("_tk"), F.md5(F.col(text_col)).alias("_h"))
+    row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_tk")).alias("n_tokens"),
+        F.countDistinct("_h").alias("_nd"),
+    )
+    vocab = base.select(F.explode("_tk").alias("t")).agg(
+        F.countDistinct("t").alias("n_distinct_terms"))
+    return row.crossJoin(vocab).select(
+        "n_docs", "n_tokens", "n_distinct_terms",
+        F.round(
+            F.lit(1.0) - F.col("_nd").cast("double")
+            / F.col("n_docs").cast("double"), 6).alias("exact_dup_ratio"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_docs").cast("double"), 6).alias("mean_doc_tokens"),
+    )

@@ -388,3 +388,45 @@ def bigram_nll(
             F.round(F.sum(nl) / F.count("*"), round_to).alias("nll"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    frequency-pruned vocabulary (terms in >= ``min_df`` docs) — the
+    tokenizer-prep diagnostic: docs full of hapax soup (OCR noise,
+    base64, code minification) spike here and get gated before
+    vocabulary induction. Output: (id, n_tok, n_oov, oov_ratio).
+
+    Scale shape: ONE map-side-combined (doc, term) count (persisted —
+    it feeds the doc-frequency agg AND the scoring join); the pruned
+    vocabulary is vocab-sized and the membership check a broadcast
+    LEFT join (NULL => OOV). Fully SQL-expressible => full q99 oracle.
+    """
+    tf = term_frequencies(df, id_col, text_col).persist()
+    vocab = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("term", F.lit(1).alias("_in"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.when(F.col("_in").isNull(), F.col("tf"))
+                  .otherwise(F.lit(0))).alias("n_oov"),
+        )
+        .select(
+            "id", "n_tok", "n_oov",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_tok").cast("double"), round_to
+            ).alias("oov_ratio"),
+        )
+    )

@@ -5063,3 +5063,96 @@ class TestPropertyTable:
             "subj_id string, pred string, obj_id string")
         out = T.property_table(tr, ["keep"])
         assert out.columns == ["subj_id", "keep"]
+
+
+class TestIqrOutliers:
+    def test_fences_and_flags(self, spark):
+        rows = [("g", float(v)) for v in
+                [10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 1000]]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quality.iqr_outliers(df, "g", "v").collect()
+        flagged = {r.v for r in out if r.is_outlier}
+        assert flagged == {1000.0}
+        r = out[0]
+        assert r.lo_fence < 10 and 19 < r.hi_fence < 1000
+        assert len(out) == 11  # flags, never drops
+
+    def test_groups_independent(self, spark):
+        rows = [("a", float(v)) for v in range(10, 20)] + \
+               [("b", float(v)) for v in range(1000, 1010)] + \
+               [("a", 1000.0), ("b", 10.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r.g, r.v): r.is_outlier for r in
+               quality.iqr_outliers(df, "g", "v").collect()}
+        assert out[("a", 1000.0)] and out[("b", 10.0)]
+        assert not out[("b", 1000.0)] and not out[("a", 10.0)]
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_near_seeds(self, spark):
+        from generative_ner_spark.operators import graph
+
+        # path a-b-c-d-e, seed at a: pr must decay with distance
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        out = {r.node: r.pr for r in graph.personalized_pagerank(
+            edges, seeds, n_iter=4).collect()}
+        # mass concentrates NEAR the seed end of the path (a degree-1
+        # seed hands its mass to b each step, so b > a is correct —
+        # the guarantee is proximity, not that the seed ranks first)
+        assert out["a"] + out["b"] > out["d"] + out["e"]
+        assert out["b"] > out["e"] and out["c"] > out["e"]
+        # teleport-to-seed conserves total mass (no dangling nodes)
+        assert abs(sum(out.values()) - 1.0) < 1e-5
+        # and the ordering is genuinely seed-driven: moving the seed to
+        # e flips which end of the path holds the mass
+        seeds_e = spark.createDataFrame([("e",)], "node string")
+        oute = {r.node: r.pr for r in graph.personalized_pagerank(
+            edges, seeds_e, n_iter=4).collect()}
+        assert oute["d"] + oute["e"] > oute["a"] + oute["b"]
+
+    def test_no_seed_in_graph_raises(self, spark):
+        import pytest as _pytest
+
+        from generative_ner_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("zz",)], "node string")
+        with _pytest.raises(ValueError):
+            graph.personalized_pagerank(edges, seeds)
+
+
+class TestOovRate:
+    def test_hapax_soup_spikes(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        common = "the cat sat here"
+        rows = [(i, common) for i in range(6)] + [(9, "zzq qqz xjv kwp")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r for r in tfidf.oov_rate(df, min_df=5).collect()}
+        assert out[0].oov_ratio == 0.0
+        assert out[9].oov_ratio == 1.0 and out[9].n_oov == 4
+
+    def test_mixed_doc_ratio(self, spark):
+        from generative_ner_spark.operators import tfidf
+
+        rows = [(i, "a b") for i in range(5)] + [(9, "a b rare")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r for r in tfidf.oov_rate(df, min_df=5).collect()}
+        assert out[9].n_tok == 3 and out[9].n_oov == 1
+        assert out[9].oov_ratio == round(1 / 3, 6)
+
+
+class TestCorpusHealthReport:
+    def test_report_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "d e")],
+            "doc_id long, text string")
+        r = quality.corpus_health_report(df).collect()[0]
+        assert r.n_docs == 3 and r.n_tokens == 8
+        assert r.n_distinct_terms == 5
+        assert r.exact_dup_ratio == round(1 - 2 / 3, 6)
+        assert r.mean_doc_tokens == round(8 / 3, 6)
