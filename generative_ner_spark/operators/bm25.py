@@ -259,6 +259,8 @@ def rrf_fuse(
     """
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
     tagged = None
     for r in rankings:
         slim = r.select(

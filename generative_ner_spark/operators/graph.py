@@ -649,6 +649,8 @@ def bounded_closure(
     depth keeps the result polynomial — the full closure of a deep
     hierarchy is the caller's (documented) responsibility.
     """
+    if int(max_depth) < 1:
+        raise ValueError("bounded_closure: max_depth must be >= 1")
     adj = edges.select("src", "dst").distinct().repartition("src").persist()
     reached = adj.select("src", "dst", F.lit(1).alias("depth"))
     reached = reached.localCheckpoint()

@@ -5156,3 +5156,22 @@ class TestCorpusHealthReport:
         assert r.n_distinct_terms == 5
         assert r.exact_dup_ratio == round(1 - 2 / 3, 6)
         assert r.mean_doc_tokens == round(8 / 3, 6)
+
+
+class TestRound5Guards:
+    def test_rrf_empty_rankings_raise(self, spark):
+        import pytest as _pytest
+
+        from generative_ner_spark.operators import bm25
+
+        with _pytest.raises(ValueError):
+            bm25.rrf_fuse([])
+
+    def test_bounded_closure_depth_validated(self, spark):
+        import pytest as _pytest
+
+        from generative_ner_spark.operators import graph
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with _pytest.raises(ValueError):
+            graph.bounded_closure(edges, max_depth=0)
