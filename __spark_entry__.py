@@ -3893,13 +3893,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), canon AS (
                 SELECT doc_id, n_chars,
-                       lower(regexp_extract(url, '^(https?)://', 1))
+                       lower(regexp_extract(url, '(?i)^(https?)://', 1))
                        || '://'
                        || regexp_replace(lower(regexp_extract(url,
-                              'https?://(?:[^/ \\t\\n\\x0b\\f\\r@]*@)?([^/ \\t\\n\\x0b\\f\\r:?#@]+)',
+                              '(?i)https?://(?:[^/ \\t\\n\\x0b\\f\\r@]*@)?([^/ \\t\\n\\x0b\\f\\r:?#@]+)',
                               1)), '^www\\.', '')
                        || regexp_replace(regexp_extract(url,
-                              '^https?://[^/?#]*(/[^?#]*)?', 1),
+                              '(?i)^https?://[^/?#]*(/[^?#]*)?', 1),
                               '/+$', '') AS canonical_url
                 FROM docs
             ), ranked AS (

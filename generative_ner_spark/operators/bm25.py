@@ -248,14 +248,17 @@ def rrf_fuse(
     ``rrf(d) = Σ_lists 1 / (k + rank_list(d))``, rank 1-based, items
     absent from a list contribute nothing. Output: (id, n_lists,
     rrf_score, rank) ordered by (score desc, id asc); ``top_k`` bounds
-    the output (TakeOrderedAndProject — no global sort).
+    the output.
 
     Scale shape: each input is already a (small) top-N result frame —
     the union + per-id agg is result-set-sized, never corpus-sized;
     map-side combine folds an id's per-list contributions before the
-    one slim exchange. Rank reciprocals come from exact integers, so
-    only the final sum carries the round-``round_to`` float contract
-    (q89 oracle).
+    one slim exchange. The global rank is an unpartitioned window —
+    a single ordered pass over the FUSED frame, which is bounded by
+    Σ len(inputs) by construction (that is the one place a global
+    window is the honest plan, not a scale bug). Rank reciprocals come
+    from exact integers, so only the final sum carries the
+    round-``round_to`` float contract (q89 oracle).
     """
     from pyspark.sql import Window
 

@@ -639,8 +639,12 @@ def dedup_against_index(
     )
     sh_new_slim = sh_new.select(F.col("id").alias("b"),
                                 F.col("shingles").alias("sh_b"))
-    if small:
-        sh_new_slim = F.broadcast(sh_new_slim)
+    # no FORCED broadcast here: the row-count `small` gate bounds the
+    # partition-pruning collect above, but this frame carries the
+    # batch's SHINGLE ARRAYS, whose bytes scale with batch text (a
+    # 90k-doc batch of 4 KB pages is multi-GB — past Spark's broadcast
+    # hard limit even though the row gate passes). AQE picks broadcast
+    # from actual runtime bytes when it genuinely fits.
     dup_new = (
         cand.join(corpus_sh, "a")
         .join(sh_new_slim, "b")
@@ -667,6 +671,7 @@ def duplicate_window_spans(
     text_col: str = "text",
     w: int = 8,
     broadcast_dup_hashes: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact duplicate-substring detection at token-window granularity —
     the distributed restatement of suffix-array exact-substring dedup
@@ -739,12 +744,22 @@ def duplicate_window_spans(
                                Window.currentRow)),
         )
     )
-    return (
+    out = (
         islands.groupBy("id", "_isl")
         .agg(F.min("i").cast("long").alias("span_start"),
              (F.max("i") + F.lit(w - 1)).cast("long").alias("span_end"))
         .select(F.col("id").alias(id_col), "span_start", "span_end")
     )
+    # pin the (small) span result, then release the corpus-sized grams
+    # cache — without this the exploded gram frame stayed pinned for the
+    # session lifetime (same release discipline as jaccard_set_join).
+    # eager=False hands back the LAZY plan instead (plan inspection /
+    # further composition) and leaves the grams cache for the caller.
+    if not eager:
+        return out
+    out = out.localCheckpoint()
+    grams.unpersist()
+    return out
 
 
 def jaccard_set_join(

@@ -167,6 +167,10 @@ def pagerank(
         (F.round("pr", round_to) if round_to is not None
          else F.col("pr")).alias("pr"),
     )
+    # pin BEFORE releasing the caches: the result joins deg lazily, so
+    # an unpersist-then-materialize recomputed degrees from raw edges —
+    # exactly the double-compute the persist was bought for
+    out = out.localCheckpoint()
     adj.unpersist()
     deg.unpersist()
     return out
@@ -330,14 +334,12 @@ def random_walks(
     frontier = visited.select("walk_id", "start_node",
                               F.col("node").alias("_cur"))
     for i in range(1, walk_len + 1):
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(
-                    ":", F.lit(salt), F.col("walk_id").cast("string"),
-                    F.lit(str(i)))),
-                1, 15),
-            16, 10,
-        ).cast("long")
+        # the ONE md5-prefix hash home (quality._md5_rank) — salt:walk:step
+        from generative_ner_spark.operators.quality import _md5_rank
+
+        h = _md5_rank(
+            F.concat_ws(":", F.col("walk_id").cast("string"),
+                        F.lit(str(i))), salt)
         nxt = (
             frontier.join(deg, "_cur")  # inner: degree-0 walks stop here
             .withColumn("_rank", F.pmod(h, F.col("_deg")))
@@ -440,14 +442,12 @@ def triangle_count_approx(
     if not 0 < p <= 1:
         raise ValueError("need 0 < p <= 1")
     cut = int(p * float(1 << 60))
-    coin = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt),
-                              F.col("src").cast("string"),
-                              F.col("dst").cast("string"))),
-            1, 15),
-        16, 10,
-    ).cast("long")
+    # the ONE md5-prefix hash home (quality._md5_rank) — salt:src:dst
+    from generative_ner_spark.operators.quality import _md5_rank
+
+    coin = _md5_rank(
+        F.concat_ws(":", F.col("src").cast("string"),
+                    F.col("dst").cast("string")), salt)
     sampled = edges.select("src", "dst").where(coin < cut).persist()
     tri = triangle_counts(sampled)
     n_tri = tri.agg(
@@ -668,6 +668,8 @@ def bounded_closure(
             .withColumn("depth", F.lit(d))
             .localCheckpoint()
         )
+        if step.isEmpty():  # converged before max_depth: stop expanding
+            break
         reached = reached.unionByName(step).localCheckpoint()
         frontier = step
     adj.unpersist()

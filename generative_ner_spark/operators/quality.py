@@ -216,9 +216,11 @@ def stratified_hash_sample(
     # thresholds ride in ONE map literal (a chained per-group CASE costs
     # O(groups) janino time — the CLAUDE.md gotcha — and a caller
     # stratifying by domain can pass thousands of groups).
-    # try_element_at, NOT element_at: under Spark 4 ANSI mode element_at
-    # throws MAP_KEY_DOES_NOT_EXIST for a group absent from rates; the
-    # contract is "absent groups keep with default_rate".
+    # try_element_at makes the NULL-for-absent-group contract EXPLICIT
+    # (on this Spark 4.1.2 plain element_at also returns NULL for an
+    # absent map key even with ANSI on — token_budget_sample relies on
+    # that — but try_element_at documents the intent and is immune to
+    # the strictly-raising behavior some ANSI configurations adopt).
     # round() for the same float-artifact reason as hash_sample_cond.
     threshold = F.lit(round(default_rate * 1_000_000))
     if rates:
@@ -951,12 +953,19 @@ def corpus_health_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     vocab = base.select(F.explode("_tk").alias("t")).agg(
         F.countDistinct("t").alias("n_distinct_terms"))
+    # try_divide: an EMPTY corpus (every row gated out by an earlier
+    # stage) is a legal before/after input, and ANSI mode raises
+    # DIVIDE_BY_ZERO on the n_docs=0 double division — the report must
+    # return its zero row, not crash the logging stage
     return row.crossJoin(vocab).select(
         "n_docs", "n_tokens", "n_distinct_terms",
         F.round(
-            F.lit(1.0) - F.col("_nd").cast("double")
-            / F.col("n_docs").cast("double"), 6).alias("exact_dup_ratio"),
+            F.lit(1.0) - F.try_divide(
+                F.col("_nd").cast("double"),
+                F.col("n_docs").cast("double")), 6
+        ).alias("exact_dup_ratio"),
         F.round(
-            F.col("n_tokens").cast("double")
-            / F.col("n_docs").cast("double"), 6).alias("mean_doc_tokens"),
+            F.try_divide(F.col("n_tokens").cast("double"),
+                         F.col("n_docs").cast("double")), 6
+        ).alias("mean_doc_tokens"),
     )

@@ -28,15 +28,11 @@ _TWO_60 = float(1 << 60)  # exactly representable double
 
 
 def _unit_hash(value_col: Column, salt: str) -> Column:
-    """md5-derived U(0,1) hash of a value — the KMV order statistic."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), value_col.cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
-    return h.cast("double") / F.lit(_TWO_60)
+    """md5-derived U(0,1) hash of a value — the KMV order statistic.
+    Built on quality._md5_rank, the one home of the md5-prefix hash."""
+    from generative_ner_spark.operators.quality import _md5_rank
+
+    return _md5_rank(value_col, salt).cast("double") / F.lit(_TWO_60)
 
 
 def _estimate(sketch_col: Column, k: int) -> Column:

@@ -98,11 +98,14 @@ def asof_join(
         "_m", F.last("_rpay", ignorenulls=True).over(w)
     ).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        # integer-microsecond age via _micros, NOT a double cast: casting
+        # TIMESTAMP_NTZ (the typical parquet event type this module
+        # exists to support) to double is an illegal cast under Spark 4
         matched = matched.withColumn(
             "_m",
             F.when(
-                F.col("_ats").cast("double")
-                - F.col("_m._rts").cast("double") <= tolerance_seconds,
+                _micros(F.col("_ats")) - _micros(F.col("_m._rts"))
+                <= F.lit(int(tolerance_seconds * 1_000_000)),
                 F.col("_m"),
             ),
         )

@@ -274,18 +274,17 @@ def negative_samples(
             - F.lit(1),
         )
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(
-                ":", F.lit(salt),
-                F.col(subj_col).cast("string"),
-                F.col(pred_col).cast("string"),
-                F.col(obj_col).cast("string"),
-                F.col("slot").cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
+    # the ONE md5-prefix hash home (quality._md5_rank) — salt:s:p:o:slot
+    from generative_ner_spark.operators.quality import _md5_rank
+
+    h = _md5_rank(
+        F.concat_ws(
+            ":",
+            F.col(subj_col).cast("string"),
+            F.col(pred_col).cast("string"),
+            F.col(obj_col).cast("string"),
+            F.col("slot").cast("string")),
+        salt)
     cand = (
         positives.select(
             subj_col, pred_col, obj_col,

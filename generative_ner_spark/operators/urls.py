@@ -95,15 +95,21 @@ def filter_blocklisted_domains(
 
 # canonicalization patterns (Java-regex/RE2 common subset, like the rest
 # of this module): scheme, host (userinfo dropped, port stopped at ':'),
-# then the path up to any query/fragment
-_SCHEME_PAT = r"^(https?)://"
-_PATH_PAT = r"^https?://[^/?#]*(/[^?#]*)?"
+# then the path up to any query/fragment. (?i) — crawl corpora routinely
+# carry mixed-case schemes/hosts ('HTTP://WWW.Site.com'); a case-
+# sensitive match would canonicalize them to NULL and silently exempt
+# those snapshots from dedup
+_SCHEME_PAT = r"(?i)^(https?)://"
+_CANON_DOMAIN_PAT = r"(?i)" + DOMAIN_PAT
+_PATH_PAT = r"(?i)^https?://[^/?#]*(/[^?#]*)?"
 
 
 def canonical_url_col(url_col: str = "url"):
     """Canonical form of a URL column — the key C4/CommonCrawl pipelines
     dedup page snapshots on, where the same page is re-crawled as
-    ``http://www.Site.com/a/?utm=x#frag`` and ``https://site.com/a``:
+    ``HTTP://www.Site.com/a/?utm=x#frag`` and ``http://site.com/a``
+    (scheme itself is PRESERVED after lowercasing — http vs https stay
+    distinct keys):
 
     * scheme + host lowercased; path case PRESERVED (case-significant
       on most servers);
@@ -118,7 +124,7 @@ def canonical_url_col(url_col: str = "url"):
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_PAT, 1))
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(u, DOMAIN_PAT, 1)), r"^www\.", "")
+        F.lower(F.regexp_extract(u, _CANON_DOMAIN_PAT, 1)), r"^www\.", "")
     path = F.regexp_replace(
         F.regexp_extract(u, _PATH_PAT, 1), r"/+$", "")
     return F.when(

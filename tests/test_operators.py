@@ -3513,10 +3513,17 @@ class TestDuplicateWindowSpans:
         df = spark.createDataFrame(
             [(1, "a b c d e"), (2, "a b c d e")],
             "doc_id long, text string")
-        out = dd.duplicate_window_spans(df, w=4, broadcast_dup_hashes=True)
+        # eager=False keeps the LAZY plan inspectable (the default
+        # localCheckpoints the result, which collapses the plan to a
+        # checkpoint scan)
+        out = dd.duplicate_window_spans(
+            df, w=4, broadcast_dup_hashes=True, eager=False)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert out.count() == 2
+        # and the eager default gives the same rows
+        assert dd.duplicate_window_spans(
+            df, w=4, broadcast_dup_hashes=True).count() == 2
 
 
 class TestUnigramNLL:
@@ -5175,3 +5182,67 @@ class TestRound5Guards:
         edges = spark.createDataFrame([("a", "b")], "src string, dst string")
         with _pytest.raises(ValueError):
             graph.bounded_closure(edges, max_depth=0)
+
+
+class TestReviewRegressionsR5b:
+    def test_asof_tolerance_on_ntz_timestamps(self, spark):
+        """tolerance_seconds must work on TIMESTAMP_NTZ inputs (the
+        typical parquet event type): the old double cast was an illegal
+        cast under Spark 4 — review finding, reproduced then fixed via
+        integer-microsecond _micros comparison."""
+        from datetime import datetime
+
+        from generative_ner_spark.operators import temporal
+
+        left = spark.createDataFrame(
+            [(1, 1, datetime(2024, 1, 1, 12))],
+            "event_id long, k long, ts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 11), 5.0),    # 1h old: in window
+             (1, datetime(2024, 1, 1, 1), 9.0)],    # 11h old
+            "k long, ts timestamp_ntz, v double")
+        out = temporal.asof_join(
+            left, right, ["k"], tolerance_seconds=7200).collect()
+        assert out[0].v_r == 5.0
+        # shrink the window below 1h: the match is nulled, not dropped
+        out2 = temporal.asof_join(
+            left, right, ["k"], tolerance_seconds=60).collect()
+        assert len(out2) == 1 and out2[0].v_r is None
+
+    def test_corpus_health_empty_corpus_no_crash(self, spark):
+        """An empty corpus (everything gated out upstream) must produce
+        the report row, not an ANSI DIVIDE_BY_ZERO — review finding."""
+        df = spark.createDataFrame([], "doc_id long, text string")
+        r = quality.corpus_health_report(df).collect()[0]
+        assert r.n_docs == 0
+        assert r.exact_dup_ratio is None and r.mean_doc_tokens is None
+
+    def test_canonical_url_mixed_case_scheme(self, spark):
+        """Uppercase schemes/hosts must canonicalize (crawl corpora mix
+        case); the old case-sensitive regex returned NULL and exempted
+        those snapshots from dedup — review finding."""
+        from generative_ner_spark.operators import urls
+
+        df = spark.createDataFrame(
+            [(1, "HTTP://WWW.Site.com/a/?utm=x"),
+             (2, "http://site.com/a")],
+            "doc_id long, url string")
+        got = {r.doc_id: r.c for r in df.select(
+            "doc_id", urls.canonical_url_col("url").alias("c")).collect()}
+        assert got[1] == "http://site.com/a" == got[2]
+        kept = {r.doc_id for r in urls.dedup_by_canonical_url(
+            df).collect()}
+        assert kept == {1}
+
+    def test_bounded_closure_early_exit(self, spark):
+        """A converged closure must not run useless extra rounds, and
+        the result is identical to the exact-depth run."""
+        from generative_ner_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        deep = sorted(map(tuple, graph.bounded_closure(
+            edges, max_depth=10).collect()))
+        two = sorted(map(tuple, graph.bounded_closure(
+            edges, max_depth=2).collect()))
+        assert deep == two
