@@ -1845,6 +1845,30 @@ def q100_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.corpus_health_report(d)
 
 
+def q101_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (temporal.funnel_counts): view -> click ->
+    purchase per user, each step strictly after the previous step's
+    reach time — order-aware product-analytics funnel with per-step
+    conversion. k slim per-user passes; no full-stream window."""
+    from generative_ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.funnel_counts(
+        e, ["view", "click", "purchase"]).orderBy("step_idx")
+
+
+def q102_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (temporal.retention_cohorts):
+    users cohorted by first-event ISO week, cells = cohort users active
+    at each week offset. Slim per-user cohort join + map-side-combined
+    cell agg."""
+    from generative_ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.retention_cohorts(e).orderBy(
+        "cohort_week", "week_offset")
+
+
 def q32_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (3 query vectors x top-5 corpus neighbors): numpy-
     matmul Arrow scoring with a k-per-query-per-partition pre-reduction,
@@ -2003,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_personalized_pagerank": q98_personalized_pagerank,
         "q99_oov_rate": q99_oov_rate,
         "q100_corpus_health": q100_corpus_health,
+        "q101_funnel": q101_funnel,
+        "q102_retention_cohorts": q102_retention_cohorts,
         "kg_mention_counts": kg_mention_counts,
         "kg_mention_counts_individual": kg_mention_counts_individual,
         "kg_triples": kg_triples,
@@ -4439,6 +4465,60 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_tokens AS DOUBLE)
                          / CAST(n_docs AS DOUBLE), 6) AS mean_doc_tokens
             FROM row1 CROSS JOIN voc""",
+        # q101: per-step min-reach chain (strictly-after joins), scalar
+        # counts, in-engine half-away rounding for the conversion
+        "q101_funnel": """
+            WITH r1 AS (
+                SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                WHERE event_type = 'view' AND ts IS NOT NULL
+                GROUP BY user_id
+            ), r2 AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN r1 ON r1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+                  AND epoch_us(e.ts) > r1.t
+                GROUP BY e.user_id
+            ), r3 AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN r2 ON r2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+                  AND epoch_us(e.ts) > r2.t
+                GROUP BY e.user_id
+            ), c AS (
+                SELECT CAST((SELECT count(*) FROM r1) AS BIGINT) AS n1,
+                       CAST((SELECT count(*) FROM r2) AS BIGINT) AS n2,
+                       CAST((SELECT count(*) FROM r3) AS BIGINT) AS n3
+            )
+            SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users,
+                   CAST(NULL AS DOUBLE) AS conversion FROM c
+            UNION ALL
+            SELECT 2, 'click', n2,
+                   CASE WHEN n1 = 0 THEN NULL
+                        ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END FROM c
+            UNION ALL
+            SELECT 3, 'purchase', n3,
+                   CASE WHEN n2 = 0 THEN NULL
+                        ELSE round(CAST(n3 AS DOUBLE) / n2, 6) END FROM c
+            ORDER BY step_idx""",
+        # q102: ISO-Monday weeks on both engines; offsets are exact
+        # 7-day multiples so the /7 cast is lossless
+        "q102_retention_cohorts": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events WHERE ts IS NOT NULL
+            ), fst AS (
+                SELECT user_id, min(wk) AS cohort_week
+                FROM ev GROUP BY user_id
+            ), cells AS (
+                SELECT DISTINCT e.user_id, f.cohort_week,
+                       CAST(date_diff('day', f.cohort_week, e.wk) / 7
+                            AS INTEGER) AS week_offset
+                FROM ev e JOIN fst f USING (user_id)
+            )
+            SELECT cohort_week, week_offset, count(*) AS n_users
+            FROM cells GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset""",
         # q70: q31's pair+component replay, sizes instead of survivors
         "q70_dup_clusters": _dup_clusters_sql(k=64, bands=8,
                                               shingle_n=5, threshold=0.8),

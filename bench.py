@@ -111,6 +111,8 @@ HEADLINE = [
     "q98_personalized_pagerank",
     "q99_oov_rate",
     "q100_corpus_health",
+    "q101_funnel",
+    "q102_retention_cohorts",
     "kg_mention_counts",
     "kg_triples",
 ]

@@ -513,3 +513,106 @@ def throttle_events(
                | (F.col("_us") - F.col("_prev") > F.lit(gap_us)))
         .drop("_us", "_tie", "_prev")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Sequential funnel analysis — "how many users did A, then B after
+    A, then C after B": for each user the funnel advances to step i+1
+    at the EARLIEST step-i+1 event STRICTLY after the time the funnel
+    reached step i (the standard product-analytics funnel, order-aware
+    — a purchase before the first view does not count). Output: one row
+    per step — (step_idx 1-based, step, n_users, conversion) where
+    ``conversion`` = n_users / previous step's n_users (NULL for step
+    1, computed from exact longs, round-``round_to``).
+
+    Scale shape: per step ONE map-side-combined groupBy on the user key
+    over ONLY that step's events (the type filter prunes at the scan)
+    plus a slim per-user join against the previous step's reach times —
+    k steps = k slim passes, no window over the full event stream, no
+    per-user collect. NULL timestamps are dropped. Fully
+    SQL-expressible => full q101 oracle.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: need at least one step")
+    spark = events.sparkSession
+    ev = events.where(F.col(ts_col).isNotNull())
+    reach = (
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(_micros(F.col(ts_col))).alias("_t"))
+        .localCheckpoint()
+    )
+    counts = [reach.count()]
+    for step in steps[1:]:
+        nxt = (
+            ev.where(F.col(type_col) == step)
+            .select(key_col, _micros(F.col(ts_col)).alias("_ts"))
+            .join(reach, key_col)
+            .where(F.col("_ts") > F.col("_t"))
+            .groupBy(key_col)
+            .agg(F.min("_ts").alias("_t"))
+            .localCheckpoint()
+        )
+        counts.append(nxt.count())
+        reach = nxt
+    # conversion rounding happens IN-ENGINE: python round() is
+    # half-even while Spark/DuckDB round() are half-away — computing
+    # driver-side would diverge from the oracle on exact halves
+    rows = [
+        (i + 1, step, counts[i], counts[i - 1] if i > 0 else None)
+        for i, step in enumerate(steps)
+    ]
+    base = spark.createDataFrame(
+        rows, "step_idx int, step string, n_users long, _prev long")
+    return base.select(
+        "step_idx", "step", "n_users",
+        F.round(
+            F.try_divide(F.col("n_users").cast("double"),
+                         F.col("_prev").cast("double")),
+            round_to,
+        ).alias("conversion"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort matrix — the growth-analytics staple:
+    users are cohorted by the Monday-truncated week of their FIRST
+    event, and each (cohort_week, week_offset) cell counts the cohort's
+    users active in that later week. Output: (cohort_week date,
+    week_offset int >= 0, n_users) — offset 0 is the cohort size by
+    construction.
+
+    Scale shape: first-event election is ONE map-side-combined min per
+    user; the per-user cohort frame joins back on the user key (slim —
+    one date per user) and the cell agg is map-side combined on the
+    (cohort, offset) report key. NULL timestamps are dropped. Weeks
+    via date_trunc('week') — ISO Monday on both engines — and offsets
+    via exact day arithmetic (datediff / 7). Full q102 oracle.
+    """
+    ev = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("_wk"),
+    )
+    first = ev.groupBy(key_col).agg(F.min("_wk").alias("cohort_week"))
+    return (
+        ev.dropDuplicates([key_col, "_wk"])
+        .join(first, key_col)
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("_wk"), F.col("cohort_week"))
+             / F.lit(7)).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

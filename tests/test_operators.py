@@ -5246,3 +5246,80 @@ class TestReviewRegressionsR5b:
         two = sorted(map(tuple, graph.bounded_closure(
             edges, max_depth=2).collect()))
         assert deep == two
+
+
+class TestFunnelCounts:
+    def test_order_aware_progression(self, spark):
+        from datetime import datetime
+
+        from generative_ner_spark.operators import temporal
+
+        t = [datetime(2024, 1, 1, h) for h in range(6)]
+        rows = [
+            # u1 completes in order
+            (1, "view", t[0]), (1, "click", t[1]), (1, "purchase", t[2]),
+            # u2 purchases BEFORE viewing: stops at view
+            (2, "purchase", t[0]), (2, "view", t[1]),
+            # u3 views then clicks, no purchase
+            (3, "view", t[0]), (3, "click", t[2]),
+            # u4 clicks only: never enters the funnel
+            (4, "click", t[0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp")
+        out = {r.step_idx: r for r in temporal.funnel_counts(
+            df, ["view", "click", "purchase"]).collect()}
+        assert out[1].n_users == 3 and out[1].conversion is None
+        assert out[2].n_users == 2
+        assert out[2].conversion == round(2 / 3, 6)
+        assert out[3].n_users == 1 and out[3].conversion == 0.5
+
+    def test_strictly_after_and_empty_step(self, spark):
+        from datetime import datetime
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, "view", t0), (1, "click", t0)],  # same instant: NOT after
+            "user_id long, event_type string, ts timestamp")
+        out = {r.step_idx: r for r in temporal.funnel_counts(
+            df, ["view", "click"]).collect()}
+        assert out[1].n_users == 1 and out[2].n_users == 0
+        assert out[2].conversion == 0.0
+
+
+class TestRetentionCohorts:
+    def test_cohort_matrix(self, spark):
+        from datetime import datetime
+
+        from generative_ner_spark.operators import temporal
+
+        w0, w1, w2 = (datetime(2024, 1, 1, 12), datetime(2024, 1, 8, 12),
+                      datetime(2024, 1, 15, 12))  # Mondays (noon)
+        rows = [
+            (1, w0), (1, w1), (1, w2),   # cohort w0, active all 3 weeks
+            (2, w0), (2, w2),             # cohort w0, skips week 1
+            (3, w1),                      # cohort w1, week 0 only
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {(str(r.cohort_week), r.week_offset): r.n_users
+               for r in temporal.retention_cohorts(df).collect()}
+        assert out[("2024-01-01", 0)] == 2
+        assert out[("2024-01-01", 1)] == 1
+        assert out[("2024-01-01", 2)] == 2
+        assert out[("2024-01-08", 0)] == 1
+        assert len(out) == 4
+
+    def test_multiple_events_one_week_count_once(self, spark):
+        from datetime import datetime, timedelta
+
+        from generative_ner_spark.operators import temporal
+
+        t0 = datetime(2024, 1, 2)
+        df = spark.createDataFrame(
+            [(1, t0 + timedelta(hours=h)) for h in range(5)],
+            "user_id long, ts timestamp")
+        out = temporal.retention_cohorts(df).collect()
+        assert len(out) == 1 and out[0].n_users == 1
+        assert out[0].week_offset == 0
