@@ -5,12 +5,16 @@ Chains the repo's curation operators over a parquet documents table
 runs them — cheap narrow filters first, shuffling stages last, every
 stage's row count recorded as metrics:
 
+  0. canonical-URL snapshot dedup (opt-in)       (urls.dedup_by_canonical_url)
   1. quality + language gates + exact dedup      (quality.curate)
+  1b. hashed-feature quality gate (opt-in)       (quality.hashed_quality_score)
+  1c. line-level boilerplate removal (opt-in)    (dedup.remove_boilerplate_lines)
   2. PII redaction                               (pii.redact_pii)
   3. fuzzy near-dedup (MinHash-LSH -> CC)        (dedup.near_dedup_documents)
   4. eval-set decontamination                    (decontam.decontaminate)
   5. stratified hash sampling (rebalancing)      (quality.stratified_hash_sample)
-  6. write curated parquet + optional packing report + _metrics.json
+  6. write curated parquet (+ before/after corpus health, packing
+     report, _metrics.json)
 
     ./scripts/make_pyfiles.sh
     spark-submit --master local[8] --py-files dist/generative_ner_spark.zip \
@@ -49,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep only this lang_id prediction (e.g. en)")
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="keep one doc per canonical URL (needs --url-col)")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--quality-threshold", type=float, default=None,
+                    help="hashed-feature linear quality gate: keep docs "
+                         "with mean token weight >= this")
+    ap.add_argument("--strip-boilerplate-lines", type=int, default=None,
+                    metavar="MIN_DOCS",
+                    help="remove lines occurring in >= MIN_DOCS docs and "
+                         "within-doc repeats (CCNet line filter)")
+    ap.add_argument("--health-report", action="store_true",
+                    help="record corpus_health_report before and after")
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--near-dedup", action="store_true",
                     help="MinHash-LSH fuzzy dedup (connected components)")
@@ -71,7 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("curate-corpus").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from generative_ner_spark.operators import decontam, dedup, packing, pii
+    from generative_ner_spark.operators import (
+        decontam, dedup, packing, pii, urls,
+    )
     from generative_ner_spark.operators import quality as Q
 
     metrics: dict[str, int] = {}
@@ -95,6 +113,28 @@ def main(argv: list[str] | None = None) -> int:
     df = spark.read.parquet(args.input)
     metrics["input_docs"] = df.count()
 
+    def health(df, tag):
+        r = Q.corpus_health_report(df).first()
+        metrics[f"health_{tag}"] = {
+            k: (v if v is None or isinstance(v, (int, float)) else str(v))
+            for k, v in r.asDict().items()}
+
+    if args.health_report:
+        health(df, "input")
+
+    # 0. canonical-URL snapshot dedup (slim key election before anything
+    # touches the text; best snapshot = longest text)
+    if args.url_dedup:
+        if args.url_col not in df.columns:
+            raise SystemExit(
+                f"--url-dedup needs column {args.url_col!r} in the input")
+        df = checkpointed(
+            urls.dedup_by_canonical_url(
+                df.withColumn("_len", F.length("text")),
+                url_col=args.url_col, quality_col="_len",
+            ).drop("_len", "canonical_url"),
+            "after_url_dedup")
+
     # 1. quality/lang gates + exact dedup (filters run before the dedup
     # shuffle inside curate())
     df = Q.curate(df, lang=args.lang, min_tokens=args.min_tokens,
@@ -103,6 +143,25 @@ def main(argv: list[str] | None = None) -> int:
     # the gates fire (they are recomputable; the sink should carry text)
     df = checkpointed(df.select("doc_id", "text", "lang_pred"),
                       "after_quality_exact_dedup")
+
+    # 1b. hashed-feature linear quality gate (pure codegen filter — runs
+    # before any shuffle so rejects never cross the wire)
+    if args.quality_threshold is not None:
+        df = checkpointed(
+            Q.hashed_quality_score(df, threshold=args.quality_threshold)
+            .where(F.col("keep")).drop("quality_score", "keep"),
+            "after_quality_classifier")
+
+    # 1c. line-level boilerplate removal (CCNet line filter; text
+    # crosses exactly one exchange — see remove_boilerplate_lines).
+    # lang_pred is re-attached via a slim id join (the rebuild returns
+    # only (doc_id, text))
+    if args.strip_boilerplate_lines is not None:
+        langs = df.select("doc_id", "lang_pred")
+        rebuilt = dedup.remove_boilerplate_lines(
+            df, min_docs=args.strip_boilerplate_lines)
+        df = checkpointed(rebuilt.join(langs, "doc_id"),
+                          "after_boilerplate_lines")
 
     # 2. PII redaction (narrow projection; text REPLACED by redacted)
     if args.redact_pii:
@@ -136,6 +195,8 @@ def main(argv: list[str] | None = None) -> int:
     if prev_cached is not None:
         prev_cached.unpersist()
     metrics["output_docs"] = spark.read.parquet(curated).count()
+    if args.health_report:
+        health(spark.read.parquet(curated), "output")
 
     # 6. packing layout for the training job
     if args.pack_budget:

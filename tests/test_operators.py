@@ -5323,3 +5323,64 @@ class TestRetentionCohorts:
         out = temporal.retention_cohorts(df).collect()
         assert len(out) == 1 and out[0].n_users == 1
         assert out[0].week_offset == 0
+
+
+class TestCurateCorpusCliNewStages:
+    def test_url_dedup_boilerplate_and_classifier_stages(
+            self, spark, tmp_path, capsys):
+        import jobs.curate_corpus as cli
+
+        src = str(tmp_path / "docs2")
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        # salt: shared crawl URL per doc_id%50 (dup snapshots), a banner
+        # line in every doc
+        d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.lit("subscribe banner"), "text").alias("text"),
+            F.concat(
+                F.lit("https://www.example"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".com/p/"), (F.col("doc_id") % 10).cast("string"),
+                F.lit("/")).alias("url"),
+        ).write.parquet(src)
+        out_dir = str(tmp_path / "out2")
+        rc = cli.main([
+            "--input", src, "--output", out_dir,
+            "--url-dedup", "--strip-boilerplate-lines", "10",
+            "--quality-threshold", "-0.5", "--health-report",
+        ])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        m = json.loads([ln for ln in lines if ln.startswith("{")][-1])
+        # URL dedup collapses 500 docs onto <= 50 canonical pages
+        assert m["after_url_dedup"] <= 50
+        # monotone shrink through the new stages
+        seq = [m["input_docs"], m["after_url_dedup"],
+               m["after_quality_exact_dedup"],
+               m["after_quality_classifier"],
+               m["after_boilerplate_lines"], m["output_docs"]]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), m
+        assert m["output_docs"] > 0
+        # the banner line is gone from every surviving doc
+        curated = spark.read.parquet(out_dir + "/curated")
+        assert curated.where(
+            F.col("text").contains("subscribe banner")).count() == 0
+        assert "lang_pred" in curated.columns  # re-attached after rebuild
+        # health snapshots recorded for both ends
+        assert m["health_input"]["n_docs"] == 500
+        assert m["health_output"]["n_docs"] == m["output_docs"]
+
+    def test_url_dedup_missing_column_fails_clearly(
+            self, spark, tmp_path):
+        import pytest as _pytest
+
+        import jobs.curate_corpus as cli
+
+        src = str(tmp_path / "docs3")
+        spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text").write.parquet(src)
+        with _pytest.raises(SystemExit):
+            cli.main(["--input", src, "--output", str(tmp_path / "o3"),
+                      "--url-dedup"])
