@@ -11,6 +11,11 @@ signal tables downstream curation consumes:
   components/ (node, component)        dedup/cluster ids
   communities/(node, label)            label-propagation communities
   walks/      (walk_id, start_node, step, node)  DeepWalk corpus
+  hits/       (node, hub, auth)        directed hub/authority scores
+  ppr/        (node, degree, pr)       seed-personalized PageRank
+  clustering/ (node, degree, n_triangles, cc)   local clustering coeff
+  closure/    (src, dst, depth)        bounded transitive closure
+  linkpred/   (a, b, n_common, aa)     Adamic-Adar link prediction
   _metrics.json                        row counts + parameters
 
     ./scripts/make_pyfiles.sh
@@ -58,6 +63,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="random walks per node (0 = off)")
     ap.add_argument("--walk-len", type=int, default=4)
     ap.add_argument("--walk-salt", default="walk")
+    ap.add_argument("--hits", action="store_true",
+                    help="directed hub/authority scores (edges read as "
+                         "src -> dst)")
+    ap.add_argument("--hits-iterations", type=int, default=2)
+    ap.add_argument("--ppr-seeds", default=None,
+                    help="parquet dir with a (node) seed table: "
+                         "personalized PageRank toward these seeds")
+    ap.add_argument("--clustering", action="store_true",
+                    help="per-node local clustering coefficient")
+    ap.add_argument("--closure", type=int, default=0,
+                    metavar="DEPTH",
+                    help="bounded transitive closure to this depth "
+                         "(directed; 0 = off)")
+    ap.add_argument("--link-predict", action="store_true",
+                    help="Adamic-Adar scores for non-adjacent 2-hop pairs")
+    ap.add_argument("--link-min-score", type=float, default=0.0)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -118,6 +139,36 @@ def main(argv: list[str] | None = None) -> int:
             salt=args.walk_salt,
         ).write.mode("overwrite").parquet(out)
         metrics["walk_rows"] = spark.read.parquet(out).count()
+
+    if args.hits:
+        out = os.path.join(args.output, "hits")
+        graph.hits(edges, n_iter=args.hits_iterations).write.mode(
+            "overwrite").parquet(out)
+        metrics["hits_rows"] = spark.read.parquet(out).count()
+    if args.ppr_seeds:
+        seeds = spark.read.parquet(args.ppr_seeds)
+        seeds = seeds.select(seeds.columns[0]).toDF("node")
+        out = os.path.join(args.output, "ppr")
+        graph.personalized_pagerank(
+            edges, seeds, n_iter=args.iterations, damping=args.damping,
+        ).write.mode("overwrite").parquet(out)
+        metrics["ppr_rows"] = spark.read.parquet(out).count()
+    if args.clustering:
+        out = os.path.join(args.output, "clustering")
+        graph.clustering_coefficient(edges).write.mode(
+            "overwrite").parquet(out)
+        metrics["clustering_rows"] = spark.read.parquet(out).count()
+    if args.closure > 0:
+        out = os.path.join(args.output, "closure")
+        graph.bounded_closure(edges, max_depth=args.closure).write.mode(
+            "overwrite").parquet(out)
+        metrics["closure_rows"] = spark.read.parquet(out).count()
+    if args.link_predict:
+        out = os.path.join(args.output, "linkpred")
+        graph.adamic_adar(
+            edges, min_score=args.link_min_score,
+        ).write.mode("overwrite").parquet(out)
+        metrics["linkpred_rows"] = spark.read.parquet(out).count()
 
     edges.unpersist()
     os.makedirs(args.output, exist_ok=True)

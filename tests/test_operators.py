@@ -5384,3 +5384,36 @@ class TestCurateCorpusCliNewStages:
         with _pytest.raises(SystemExit):
             cli.main(["--input", src, "--output", str(tmp_path / "o3"),
                       "--url-dedup"])
+
+
+class TestGraphAnalyticsCliNewStages:
+    def test_hits_ppr_clustering_closure_linkpred(
+            self, spark, tmp_path, capsys):
+        import jobs.graph_analytics as cli
+
+        src = str(tmp_path / "edges_new")
+        # small directed-ish chain + clique so every stage has signal
+        spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "src string, dst string").write.parquet(src)
+        seeds = str(tmp_path / "seeds_new")
+        spark.createDataFrame([("a",)], "node string").write.parquet(seeds)
+        out_dir = str(tmp_path / "out_new")
+        rc = cli.main([
+            "--edges", src, "--output", out_dir,
+            "--hits", "--ppr-seeds", seeds, "--clustering",
+            "--closure", "3", "--link-predict",
+        ])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        m = json.loads([ln for ln in lines if ln.startswith("{")][-1])
+        assert m["hits_rows"] == 5
+        assert m["ppr_rows"] == 5
+        assert m["clustering_rows"] == 5
+        assert m["closure_rows"] > 5      # depth-2/3 pairs beyond edges
+        assert m["linkpred_rows"] > 0
+        cc = {r.node: r.cc for r in spark.read.parquet(
+            f"{out_dir}/clustering").collect()}
+        assert cc["a"] > 0 and cc["e"] == 0.0
+        lp = spark.read.parquet(f"{out_dir}/linkpred")
+        assert set(lp.columns) == {"a", "b", "n_common", "aa"}
