@@ -303,6 +303,75 @@ def streaming_first_seen_dedup(
     )
 
 
+def streaming_throttle(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ingest_ts",
+    quiet_seconds: int = 3600,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-key event throttling — the STREAMING twin of
+    temporal.throttle_events ("emit at most one row per key per quiet
+    period"; the batch operator's identical island semantics sit under
+    the q91 DuckDB oracle). An event is emitted iff its key saw NO
+    event in the preceding ``quiet_seconds``; every event — emitted or
+    suppressed — advances the key's quiet clock (state = last SEEN
+    event time, the gap-island contract, exactly the batch twin's lag
+    comparison). Within a batch rows process in (event time, id)
+    order; across batches the contract is arrival-ordered, like
+    streaming_first_seen_dedup.
+
+    State bounding is SEMANTICS-FREE here (nicer than the dedup op's
+    TTL): the state times out once the watermark passes
+    last_seen + quiet — at which point ANY future arrival is
+    necessarily past the quiet period, so forgetting the key changes
+    no decision; state is bounded by keys active per quiet window.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    flat = (
+        events_stream.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(id_col).cast("string").alias("event_id"),
+            F.col(ts_col).alias("ingest_ts"),
+        )
+        # epoch ms JVM-side — same Arrow-timezone hazard as the dedup op
+        .withColumn("_ts_ms", F.unix_millis(F.col("ingest_ts")))
+        .withWatermark("ingest_ts", watermark_delay)
+    )
+    quiet_ms = int(quiet_seconds) * 1000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        import pandas as _pd
+
+        rows = _pd.concat(list(pdfs)).sort_values(["_ts_ms", "event_id"])
+        last = state.get[0] if state.exists else None
+        keep_idx = []
+        for idx, ts in zip(rows.index, rows["_ts_ms"]):
+            ts = int(ts)
+            if last is None or ts - last > quiet_ms:
+                keep_idx.append(idx)
+            last = ts  # suppressed events still advance the clock
+        state.update((int(last),))
+        state.setTimeoutTimestamp(int(last) + quiet_ms)
+        if keep_idx:
+            yield rows.loc[keep_idx, ["key", "event_id", "ingest_ts"]]
+
+    return flat.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType="key string, event_id string, "
+                         "ingest_ts timestamp",
+        stateStructType="last_seen_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def start_mention_stream(
     docs_stream: DataFrame,
     golds: DataFrame,

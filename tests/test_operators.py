@@ -5417,3 +5417,72 @@ class TestGraphAnalyticsCliNewStages:
         assert cc["a"] > 0 and cc["e"] == 0.0
         lp = spark.read.parquet(f"{out_dir}/linkpred")
         assert set(lp.columns) == {"a", "b", "n_common", "aa"}
+
+
+class TestStreamingThrottle:
+    def test_throttle_suppression_clock_and_state_expiry(
+            self, spark, tmp_path):
+        """streaming_throttle: first event per key emits; later events
+        inside the quiet period are suppressed AND advance the clock
+        (island semantics — the q91 batch twin's contract); once the
+        watermark passes last_seen + quiet the state expires and the
+        next arrival emits again. Keys throttle independently."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from generative_ner_spark.streaming import mentions as sm
+
+        indir = tmp_path / "thr_in"
+        indir.mkdir()
+
+        def ev(eid, uid, ts):
+            return _json.dumps(
+                {"event_id": eid, "user_id": uid, "ingest_ts": ts})
+
+        files = [
+            # b1: u1 emits e1; e2 ten minutes later is suppressed
+            ("f1.json", [ev("e1", "u1", "2025-01-01T10:00:00Z"),
+                         ev("e2", "u1", "2025-01-01T10:10:00Z"),
+                         ev("k1", "u2", "2025-01-01T10:00:00Z")]),
+            # b2: e3 within 30min of e2 (clock ADVANCED by the
+            # suppressed e2): suppressed
+            ("f2.json", [ev("e3", "u1", "2025-01-01T10:20:00Z")]),
+            # b3: other-key advancer moves the watermark to 11:50 —
+            # u1's state (last_seen 10:20 + 30min = 10:50) expires
+            ("f3.json", [ev("k2", "u2", "2025-01-01T12:00:00Z")]),
+            # b4: u1 re-arrival past the quiet period: emitted
+            ("f4.json", [ev("e4", "u1", "2025-01-01T11:55:00Z")]),
+        ]
+        now = _time.time()
+        for i, (name, lines) in enumerate(files):
+            p = indir / name
+            p.write_text("\n".join(lines) + "\n")
+            _os.utime(p, (now + i * 10, now + i * 10))
+
+        stream = (
+            spark.readStream
+            .schema("event_id string, user_id string, ingest_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir))
+        )
+        out = sm.streaming_throttle(
+            stream, quiet_seconds=1800, watermark_delay="10 minutes")
+        q = (
+            out.writeStream.format("memory").queryName("sthrottle")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "thr_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emitted = [r.event_id for r in
+                   spark.sql("SELECT * FROM sthrottle").collect()]
+        assert "e1" in emitted            # first per key
+        assert "e2" not in emitted        # inside quiet period
+        assert "e3" not in emitted        # clock advanced by e2
+        assert "e4" in emitted            # state expired, re-emitted
+        assert "k1" in emitted            # other key independent
+        # k2 arrives 2h after k1: past ITS quiet period too
+        assert "k2" in emitted
+        assert len(emitted) == len(set(emitted)) == 4
