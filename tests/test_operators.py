@@ -5486,3 +5486,118 @@ class TestStreamingThrottle:
         # k2 arrives 2h after k1: past ITS quiet period too
         assert "k2" in emitted
         assert len(emitted) == len(set(emitted)) == 4
+
+
+class TestCdcFuzzVsPythonReplay:
+    """Seeded randomized cross-check of the CDC family against a pure
+    python replay — one Spark round-trip covering hundreds of keys
+    (per-example Spark would be too slow for hypothesis; the seed makes
+    this a deterministic fuzz corpus)."""
+
+    def _scenario(self):
+        import random
+        from datetime import datetime, timedelta
+
+        rng = random.Random(20260818)
+        t0 = datetime(2024, 1, 1)
+        snap_rows, chg_rows = [], []
+        expected_merge = {}
+        expected_versions = {}
+        for k in range(300):
+            if rng.random() < 0.6:
+                snap_rows.append((k, f"snap{k}"))
+            changes = []
+            for s in range(rng.randint(0, 6)):
+                ts = t0 + timedelta(minutes=rng.randint(0, 50))
+                op = "delete" if rng.random() < 0.3 else "upsert"
+                seq = len(chg_rows)
+                v = f"v{k}-{s}"
+                chg_rows.append((k, v, ts, seq, op))
+                changes.append((ts, seq, v, op))
+            # python replay: latest (ts, seq) wins for merge; upsert
+            # subsequence in (ts, seq) order for scd2
+            changes.sort()
+            if changes:
+                _, _, v, op = changes[-1]
+                if op != "delete":
+                    expected_merge[k] = v
+            elif any(r[0] == k for r in snap_rows):
+                expected_merge[k] = f"snap{k}"
+            ups = [(ts, seq, v) for ts, seq, v, op in changes
+                   if op != "delete"]
+            expected_versions[k] = [v for _, _, v in ups]
+        return snap_rows, chg_rows, expected_merge, expected_versions
+
+    def test_merge_matches_python(self, spark):
+        from generative_ner_spark.operators import temporal
+
+        snap_rows, chg_rows, expected, _ = self._scenario()
+        snap = spark.createDataFrame(snap_rows, "k long, v string")
+        chg = spark.createDataFrame(
+            chg_rows, "k long, v string, ts timestamp, seq long, op string")
+        got = {r.k: r.v for r in temporal.merge_changelog(
+            snap, chg, "k", ts_col="ts", op_col="op",
+            seq_col="seq").collect()}
+        assert got == expected
+
+    def test_scd2_versions_match_python(self, spark):
+        from generative_ner_spark.operators import temporal
+
+        _, chg_rows, _, expected = self._scenario()
+        chg = spark.createDataFrame(
+            chg_rows, "k long, v string, ts timestamp, seq long, op string")
+        hist = temporal.scd2_history(
+            chg, "k", ts_col="ts", op_col="op", seq_col="seq",
+            payload=["v"]).collect()
+        got: dict = {}
+        for r in hist:
+            got.setdefault(r.k, []).append((r.version, r.v))
+        for k, vs in got.items():
+            ordered = [v for _, v in sorted(vs)]
+            assert ordered == expected[k], k
+        # keys with no upserts produce no history
+        assert all(expected[k] == [] for k in range(300) if k not in got)
+
+
+class TestCanonicalUrlFuzzVsPythonReplay:
+    def test_random_urls_match_python_reference(self, spark):
+        """Seeded URL-shape fuzz: canonical_url_col vs an independent
+        python re implementation of the documented rules, one Spark
+        round-trip over the whole corpus."""
+        import random
+        import re
+
+        from generative_ner_spark.operators import urls as U
+
+        def canon_py(u):
+            m = re.match(r"(?i)^(https?)://", u)
+            hm = re.match(
+                r"(?i)https?://(?:[^/ \t\n\x0b\f\r@]*@)?"
+                r"([^/ \t\n\x0b\f\r:?#@]+)", u)
+            if not m or not hm:
+                return None
+            host = re.sub(r"^www\.", "", hm.group(1).lower())
+            pm = re.match(r"(?i)^https?://[^/?#]*(/[^?#]*)?", u)
+            path = re.sub(r"/+$", "", pm.group(1) or "")
+            return f"{m.group(1).lower()}://{host}{path}"
+
+        rng = random.Random(42)
+        schemes = ["http", "https", "HTTP", "HtTpS", "ftp"]
+        hosts = ["Example.com", "www.site.ORG", "a.b.c.net", "WWW.X.io"]
+        users = ["", "user@", "u:p@"]
+        ports = ["", ":8080"]
+        paths = ["", "/", "/A/b", "/x/y/z//", "/p%20q"]
+        tails = ["", "?q=1&r=2", "#frag", "?q=1#f"]
+        rows = []
+        for i in range(400):
+            u = (rng.choice(schemes) + "://" + rng.choice(users)
+                 + rng.choice(hosts) + rng.choice(ports)
+                 + rng.choice(paths) + rng.choice(tails))
+            rows.append((i, u))
+        rows.append((9991, "not a url"))
+        rows.append((9992, "://missing-scheme.com/a"))
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r.doc_id: r.c for r in df.select(
+            "doc_id", U.canonical_url_col("url").alias("c")).collect()}
+        for doc_id, u in rows:
+            assert got[doc_id] == canon_py(u), (u, got[doc_id], canon_py(u))
