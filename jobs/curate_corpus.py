@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write a sequence-packing report at this "
                          "token budget")
     ap.add_argument("--pack-shards", type=int, default=16)
+    ap.add_argument("--stage-dir", default=None,
+                    help="persist every stage's output parquet here and "
+                         "RESUME: a stage already written (with _SUCCESS) "
+                         "is read back instead of recomputed — mid-chain "
+                         "restartability for long curation runs. Guarded "
+                         "by an input+flags fingerprint (a changed chain "
+                         "refuses stale stage outputs).")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -92,8 +99,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     from generative_ner_spark.operators import quality as Q
 
-    metrics: dict[str, int] = {}
+    metrics: dict = {}
     prev_cached = None
+
+    if args.stage_dir:
+        # a stage output is only valid for the chain that produced it:
+        # resuming a DIFFERENT input or flag set against old stage
+        # parquet would silently curate the wrong corpus (same gate as
+        # kg_construct's catalog fingerprint)
+        import hashlib
+
+        chain_fp = hashlib.md5(json.dumps(
+            {k: v for k, v in sorted(vars(args).items())
+             if k not in ("output", "stage_dir")},
+            sort_keys=True).encode()).hexdigest()
+        os.makedirs(args.stage_dir, exist_ok=True)
+        fp_path = os.path.join(args.stage_dir, "_chain.json")
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                prev_fp = json.load(f).get("fingerprint")
+            if prev_fp != chain_fp:
+                raise SystemExit(
+                    f"--stage-dir {args.stage_dir} holds outputs from a "
+                    "DIFFERENT input/flag chain — point at a fresh dir "
+                    "or delete it")
+        else:
+            with open(fp_path, "w") as f:
+                json.dump({"fingerprint": chain_fp}, f)
 
     def checkpointed(df, stage: str):
         """Materialize a stage ONCE and record its row count. Without
@@ -101,8 +133,24 @@ def main(argv: list[str] | None = None) -> int:
         re-execute the whole upstream chain — the quality regex passes
         and the dedup shuffles — up to 5x (CLAUDE.md: materialize between
         chained stages). The previous stage's cache is released as soon
-        as its successor is materialized."""
+        as its successor is materialized.
+
+        With --stage-dir the stage output is PERSISTED as parquet and a
+        re-run reads it back instead of recomputing (mid-chain resume);
+        the gate is _SUCCESS, never bare directory existence — a crashed
+        prior write must recompute, not read a partial stage."""
         nonlocal prev_cached
+        if args.stage_dir:
+            path = os.path.join(args.stage_dir, stage)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                df = spark.read.parquet(path)
+                metrics.setdefault("resumed_stages", []).append(stage)
+            else:
+                df.write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)  # fresh file index
+            metrics[stage] = df.count()
+            prev_cached = None
+            return df
         df = df.persist()
         metrics[stage] = df.count()
         if prev_cached is not None:

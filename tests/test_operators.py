@@ -5601,3 +5601,49 @@ class TestCanonicalUrlFuzzVsPythonReplay:
             "doc_id", U.canonical_url_col("url").alias("c")).collect()}
         for doc_id, u in rows:
             assert got[doc_id] == canon_py(u), (u, got[doc_id], canon_py(u))
+
+
+class TestCurateCorpusResume:
+    def test_stage_dir_resume_and_chain_fingerprint_gate(
+            self, spark, tmp_path, capsys):
+        """--stage-dir: a second identical run resumes every
+        checkpointed stage from parquet (identical metrics + output);
+        a run with DIFFERENT flags against the same stage dir refuses
+        with a clear error instead of curating the wrong corpus."""
+        import pytest as _pytest
+
+        import jobs.curate_corpus as cli
+
+        src = str(tmp_path / "docs_r")
+        spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text").write.parquet(src)
+        stage = str(tmp_path / "stages")
+        args = ["--input", src, "--output", str(tmp_path / "o1"),
+                "--near-dedup", "--stage-dir", stage]
+        assert cli.main(args) == 0
+        m1 = json.loads([ln for ln in capsys.readouterr().out.strip()
+                         .splitlines() if ln.startswith("{")][-1])
+        assert "resumed_stages" not in m1  # first run computes
+
+        args2 = ["--input", src, "--output", str(tmp_path / "o2"),
+                 "--near-dedup", "--stage-dir", stage]
+        assert cli.main(args2) == 0
+        m2 = json.loads([ln for ln in capsys.readouterr().out.strip()
+                         .splitlines() if ln.startswith("{")][-1])
+        assert set(m2["resumed_stages"]) == {
+            "after_quality_exact_dedup", "after_near_dedup"}
+        for k in ("after_quality_exact_dedup", "after_near_dedup",
+                  "output_docs"):
+            assert m2[k] == m1[k]
+        a = sorted(r.doc_id for r in spark.read.parquet(
+            str(tmp_path / "o1") + "/curated").collect())
+        b = sorted(r.doc_id for r in spark.read.parquet(
+            str(tmp_path / "o2") + "/curated").collect())
+        assert a == b
+
+        # different chain (extra flag) against the same stage dir: refuse
+        with _pytest.raises(SystemExit):
+            cli.main(["--input", src, "--output", str(tmp_path / "o3"),
+                      "--near-dedup", "--quality-threshold", "-0.4",
+                      "--stage-dir", stage])
