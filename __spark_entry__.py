@@ -24,8 +24,32 @@ from generative_ner_spark.operators import dedup, quality, similarity
 from generative_ner_spark.operators.quality import LANG_MARKERS
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelization (optimization guide §2.5
+    "input skew" / §6 small files): the testdata tables are single-file,
+    single-row-group parquet, so their scans plan as ONE task — and every
+    per-row-expensive projection that Catalyst collapses into the scan
+    stage (md5 shingling, minhash aggregates, Arrow UDF batches) then
+    runs serially on one core while the rest idle. Repartition up to the
+    cluster's defaultParallelism ONLY when the scan has fewer partitions:
+    at production scale a 100 TB table plans thousands of splits and this
+    is a no-op; locally it costs one slim exchange of the raw rows and
+    buys full-width execution of everything downstream."""
+    from generative_ner_spark.plans.session import adaptive_min_partitions
+
+    return adaptive_min_partitions(df)
+
+
+# CPU-heavy consumers (shingling/minhash/simhash/Arrow UDFs) read these;
+# the relational tables (lineitem/orders/...) keep their native splits —
+# their aggregation queries are scan-cheap and an unconditional exchange
+# of 6M rows would cost more than it buys (measured in OPTIMIZATION_r06).
+_PAR_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _par(df) if name in _PAR_TABLES else df
 
 
 # ---------------------------------------------------------------------------
@@ -409,9 +433,17 @@ def q26_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(source, lang) curation aggregates over quality features."""
+    """Per-(source, lang) curation aggregates over quality features.
+
+    Reads documents WITHOUT the _par scan repartition: avg_stopword_ratio
+    is a float average whose round-6 value sits on a rounding boundary at
+    some SFs, so Spark must replay DuckDB's sequential per-group addition
+    order — a repartitioned scan reorders the FP sum and flips the 6th
+    decimal (observed at sf0.01). q27 is not a bench headline, so the
+    single-task scan costs nothing measured."""
     d = quality.quality_features(
-        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "lang", "text")
     )
     return (
         d.groupBy("source", "lang")
@@ -1090,7 +1122,8 @@ def _part_coocc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the market-basket stand-in for the KG's entity co-mention graph."""
     from generative_ner_spark.operators import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _par(_t(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_partkey"))
     return graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
 
@@ -1595,8 +1628,8 @@ def q86_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     2T/d(d-1) arithmetic."""
     from generative_ner_spark.operators import graph
 
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey")
+    li = _par(_t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey"))
     edges = graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
     return graph.clustering_coefficient(edges).orderBy("node")
@@ -1663,8 +1696,8 @@ def q90_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges."""
     from generative_ner_spark.operators import graph
 
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 10 == 0).select("l_orderkey", "l_partkey")
+    li = _par(_t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 10 == 0).select("l_orderkey", "l_partkey"))
     edges = graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
     return graph.adamic_adar(edges).orderBy(
@@ -1812,8 +1845,8 @@ def q98_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed-teleport CASE."""
     from generative_ner_spark.operators import graph
 
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey")
+    li = _par(_t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey"))
     edges = graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
     seeds = _t(spark, sf_dir, "part").where(

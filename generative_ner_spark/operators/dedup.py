@@ -797,6 +797,15 @@ def jaccard_set_join(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+"),
         lambda x: x != F.lit(""))
+    # shingles are REPRESENTED by their xxhash64 from here on (guide §2.3
+    # "narrower types"): every downstream exchange — the distinct, the
+    # df-count, the prefix self-join, the verify arrays — carries an
+    # 8-byte long instead of a ~25-byte string. Set semantics are
+    # preserved modulo 64-bit collisions WITHIN one document pair's union
+    # (~500-shingle docs: P < 1e-14 per pair); the prefix filter stays
+    # lossless under ANY consistent global order, so ordering by
+    # (df, hash) instead of (df, string) only changes WHICH candidates
+    # are generated, never which pairs verify.
     sh = (
         df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
         .where(F.size("_tk") >= shingle_n)
@@ -804,7 +813,8 @@ def jaccard_set_join(
             "_id",
             F.explode(F.expr(
                 f"transform(sequence(0, size(_tk) - {shingle_n}),"
-                f" i -> array_join(slice(_tk, i + 1, {shingle_n}), ' '))"
+                f" i -> xxhash64(array_join(slice(_tk, i + 1, {shingle_n}),"
+                f" ' ')))"
             )).alias("tok"),
         )
         .distinct()

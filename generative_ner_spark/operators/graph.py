@@ -202,24 +202,45 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         (F.col("_ds") < F.col("_dd"))
         | ((F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst")))
     ).select("src", "dst").persist()
-    wedges = (
-        oriented.alias("o1")
-        .join(oriented.alias("o2"), F.col("o1.src") == F.col("o2.src"))
-        .where(F.col("o1.dst") < F.col("o2.dst"))
-        .select(
-            F.col("o1.src").alias("apex"),
-            F.col("o1.dst").alias("b"),
-            F.col("o2.dst").alias("c"),
-        )
+    # Edge-iterator intersection (the r6 rewrite, guide §2.3 "shuffle
+    # fewer bytes"): a triangle {a,b,c} ordered by rank is THREE oriented
+    # edges a->b, a->c, b->c, so it is found exactly once at its base
+    # edge (a, b) as |out(a) ∩ out(b)| — the wedge materialization
+    # (sum_a C(out_a, 2) rows through an exchange + a row-per-wedge hash
+    # join; ~200M rows on the sf1.0 co-occurrence graph) is replaced by
+    # ONE out-neighbor-list aggregation (<= E rows, out-degree O(sqrt E)
+    # by the orientation) and two E-row joins whose intersection runs
+    # in-memory per edge. Per-triangle credits are identical: apex a and
+    # middle b each get |common|, every c in common gets 1.
+    adjl = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("_nb"))
+    tri = (
+        oriented
+        .join(adjl.withColumnRenamed("_nb", "_nba"), "src")
+        .join(adjl.select(F.col("src").alias("dst"),
+                          F.col("_nb").alias("_nbb")), "dst")
+        .withColumn("_common", F.array_intersect("_nba", "_nbb"))
+        .withColumn("_n", F.size("_common"))
+        .where(F.col("_n") > 0)
+        .select("src", "dst", "_common", "_n")
     )
-    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"])
+    # ONE explode emits all three credits per base edge (a 3-way union of
+    # selects over this subtree re-evaluates the join+intersect three
+    # times — union branches share exchanges, not compute)
+    credit = F.concat(
+        F.array(
+            F.struct(F.col("src").alias("node"), F.col("_n").alias("_c")),
+            F.struct(F.col("dst").alias("node"), F.col("_n").alias("_c")),
+        ),
+        F.transform(
+            "_common",
+            lambda c: F.struct(c.alias("node"), F.lit(1).alias("_c")),
+        ),
+    )
     out = (
-        tri.select(F.col("apex").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
+        tri.select(F.explode(credit).alias("_e"))
+        .groupBy(F.col("_e.node").alias("node"))
+        .agg(F.sum("_e._c").cast("long").alias("n_triangles"))
     )
     out = out.localCheckpoint()
     oriented.unpersist()

@@ -17,6 +17,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def adaptive_min_partitions(df):
+    """Scale-adaptive scan parallelization (optimization guide §2.5
+    "input skew" / §6 small files): a single-file, single-row-group
+    parquet table scans as ONE task, and every per-row-expensive
+    projection Catalyst collapses into that scan stage (md5 shingling,
+    minhash aggregates, Arrow/pandas batches) then runs serially on one
+    core. Repartition up to the cluster's defaultParallelism ONLY when
+    the scan has fewer partitions — at production scale a large table
+    plans thousands of splits and this is a no-op; locally it costs one
+    slim exchange of the raw rows and buys full-width execution of
+    everything downstream."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def build_session(
     app_name: str = "generative-ner-spark",
     master: str | None = None,

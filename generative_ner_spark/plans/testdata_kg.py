@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from generative_ner_spark import schema
 from generative_ner_spark.plans.pipeline import PipelineResult, run_pipeline
+from generative_ner_spark.plans.session import adaptive_min_partitions
 from generative_ner_spark.sources.synth import SynthConfig
 
 # term -> reference-style label. No term is a substring of another (keeps
@@ -65,7 +66,8 @@ NOISELESS = SynthConfig(
 
 def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> interleaved (doc_id, spans) docs."""
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = adaptive_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
     text_span = F.struct(
         F.lit("text").alias("kind"),
         F.col("text").alias("text"),
@@ -110,7 +112,8 @@ def _lexicon_matches(text: str) -> list[dict]:
 
 def lexicon_golds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-word lexicon matches as gold entities (Arrow batches)."""
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    flat = adaptive_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,7 +162,8 @@ def examples_with_golds(spark: SparkSession, sf_dir: str) -> DataFrame:
     generic interleaved path (plans/pipeline.py) keeps the join because its
     golds come from a separate table.
     """
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    flat = adaptive_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
