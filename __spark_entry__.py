@@ -1122,8 +1122,10 @@ def _part_coocc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the market-basket stand-in for the KG's entity co-mention graph."""
     from generative_ner_spark.operators import graph
 
-    li = _par(_t(spark, sf_dir, "lineitem")
-              .select("l_orderkey", "l_partkey"))
+    # NO _par here (measured in OPTIMIZATION_r06): the first operator is
+    # a groupBy(basket) that reshuffles anyway, so a round-robin exchange
+    # of 6M rows ahead of it costs ~8s and buys nothing
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
 
@@ -1628,8 +1630,8 @@ def q86_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     2T/d(d-1) arithmetic."""
     from generative_ner_spark.operators import graph
 
-    li = _par(_t(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
     return graph.clustering_coefficient(edges).orderBy("node")
@@ -1696,8 +1698,8 @@ def q90_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges."""
     from generative_ner_spark.operators import graph
 
-    li = _par(_t(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 10 == 0).select("l_orderkey", "l_partkey"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 10 == 0).select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
     return graph.adamic_adar(edges).orderBy(
@@ -1845,8 +1847,8 @@ def q98_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed-teleport CASE."""
     from generative_ner_spark.operators import graph
 
-    li = _par(_t(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 3 == 0).select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_edges(
         li, basket_col="l_orderkey", item_col="l_partkey")
     seeds = _t(spark, sf_dir, "part").where(

@@ -331,12 +331,15 @@ def _large_star(e_sym: DataFrame) -> DataFrame:
     mins = e_sym.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least("u", "mv").alias("m")
     )
+    # NO .distinct() here (r6): different u's can emit the same (l, s),
+    # but the only consumer is _small_star, whose min-aggregate ignores
+    # duplicates and whose own output IS deduplicated — the r5 distinct
+    # was a full extra exchange of the round's largest frame per round.
     return (
         e_sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("l"), F.col("m").alias("s"))
         .where(F.col("l") != F.col("s"))
-        .distinct()
     )
 
 
@@ -430,21 +433,39 @@ def connected_components(
         .localCheckpoint()  # cut the upstream (LSH) DAG once, or every
         # round re-runs the whole blocking plan
     )
+    def _edge_sig(df: DataFrame) -> tuple:
+        """(count, order-independent xxhash64 fingerprint) in ONE pass —
+        the r6 convergence probe. The r5 check ran count() PLUS a full
+        exceptAll anti-join job per round; two scalar aggregates compare
+        the same sets with collision odds ~2^-64 per round (the star
+        rounds are monotone label-lowering, so a collision would merely
+        stop one round early on an astronomically unlikely fingerprint
+        tie — and both stars' output is already deduplicated, making
+        count+multiset-hash equality set equality)."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(l, s))").alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
     prev = None
+    prev_sig = None
     stars = None
     converged = False
     rounds = 0
     for rounds in range(1, max_iter + 1):
         ss = _small_star(_large_star(cur)).localCheckpoint()
-        if prev is not None and ss.count() == prev.count() \
-                and ss.exceptAll(prev).isEmpty():
+        sig = _edge_sig(ss)
+        if prev_sig is not None and sig == prev_sig:
             stars, converged = ss, True
             break
-        prev = ss
+        prev, prev_sig = ss, sig
+        # no distinct (r6): ss is deduplicated and strictly l > s, so the
+        # two directed copies cannot collide — the r5 distinct re-shuffled
+        # 2x the round's edges for nothing
         cur = (
             ss.select(F.col("l").alias("u"), F.col("s").alias("v"))
             .union(ss.select(F.col("s").alias("u"), F.col("l").alias("v")))
-            .distinct()
             .localCheckpoint()
         )
     if stars is None:

@@ -57,34 +57,51 @@ def cooccurrence_edges(
     (a 10^6-item basket contributes 10^12 pairs otherwise), and
     ``metrics`` receives {"capped_baskets", "capped_rows"}.
     """
-    items = df.select(
-        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
-    ).distinct()
+    # r6 shape (guide §2.4 "remove shuffles outright"): ONE groupBy folds
+    # each basket to its sorted distinct item array (collect_set absorbs
+    # the former standalone .distinct() exchange, and size(_its) replaces
+    # the separate occupancy-count frame + cap join), then the per-basket
+    # pair generation runs IN-ARRAY (sorted array => src < dst by
+    # construction) and explodes straight into the weight groupBy. The
+    # r5 form paid 4 exchanges (distinct, cap-count join, self-join,
+    # weight groupBy) and probed the basket self-join row by row; this
+    # pays 2. The quadratic-basket guard is unchanged in meaning:
+    # baskets above ``max_basket`` are dropped whole, metrics reports
+    # {"capped_baskets", "capped_rows"} (rows = distinct items of the
+    # dropped baskets, as before).
+    baskets = (
+        df.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_set("_it")).alias("_its"))
+    )
     if max_basket is not None:
         # localCheckpoint, not persist: eager, shared by the metrics agg
-        # and the cap join, and released by GC when this frame drops out
-        # of scope — a persist here would leak cache for the session
-        # (no unpersist point exists after the lazy cap join)
-        counts = items.groupBy("_bk").agg(
-            F.count("*").alias("_bc")).localCheckpoint()
+        # and the cap filter, and released by GC when this frame drops
+        # out of scope — a persist here would leak cache for the session
+        baskets = baskets.localCheckpoint()
         if metrics is not None:
             over = (
-                counts.where(F.col("_bc") > max_basket)
+                baskets.where(F.size("_its") > max_basket)
                 .agg(F.count("*").alias("b"),
-                     F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
+                     F.coalesce(F.sum(F.size("_its")), F.lit(0)).alias("r"))
                 .first()
             )
             metrics["capped_baskets"] = over["b"]
             metrics["capped_rows"] = int(over["r"])
-        items = items.join(
-            counts.where(F.col("_bc") <= max_basket), "_bk"
-        ).drop("_bc")
-    left = items.select("_bk", F.col("_it").alias("src"))
-    right = items.select("_bk", F.col("_it").alias("dst"))
+        baskets = baskets.where(F.size("_its") <= max_basket)
+    pairs = F.flatten(
+        F.transform(
+            "_its",
+            lambda x, i: F.transform(
+                F.slice("_its", i + F.lit(2),
+                        F.size("_its") - i - F.lit(1)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     return (
-        left.join(right, "_bk")
-        .where(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
+        baskets.select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"))
         .agg(F.count("*").alias("weight"))
     )
 

@@ -59,7 +59,12 @@ def _collect_query_rows(queries: DataFrame, cols: list[str],
     return rows
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    if dim is not None:
+        return _unrolled_sum(
+            [F.try_element_at(a, F.lit(i)).cast("double")
+             * F.try_element_at(b, F.lit(i)).cast("double")
+             for i in range(1, dim + 1)])
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -67,7 +72,30 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
+def _unrolled_sum(terms):
+    """lit(0.0) + t1 + ... + tn, LEFT-ASSOCIATIVE — the exact FP addition
+    sequence of the aggregate() fold it replaces, so the two forms are
+    bit-identical on equal-length arrays. Why unroll at all (r6, guide
+    §4.1): higher-order array functions are CodegenFallback — the lambda
+    runs interpreted per element, which dominates the exact-cosine verify
+    on millions of candidate pairs — while the unrolled chain is plain
+    whole-stage-codegen arithmetic. Only used when the caller declares a
+    fixed ``dim`` (the expression tree is O(dim): fine at 64-1024, not
+    for unbounded arrays). try_element_at: a shorter-than-dim array
+    yields NULL (matching zip_with's NULL padding) instead of ANSI's
+    INVALID_ARRAY_INDEX."""
+    out = F.lit(0.0)
+    for t in terms:
+        out = out + t
+    return out
+
+
+def _norm(a, dim: int | None = None):
+    if dim is not None:
+        sq = [F.try_element_at(a, F.lit(i)).cast("double")
+              * F.try_element_at(a, F.lit(i)).cast("double")
+              for i in range(1, dim + 1)]
+        return F.sqrt(_unrolled_sum(sq))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -77,14 +105,14 @@ def _norm(a):
     )
 
 
-def cosine_col(a, b):
+def cosine_col(a, b, dim: int | None = None):
     # try_divide, not '/': Spark 4 ANSI mode raises DIVIDE_BY_ZERO on a
     # double zero denominator, so ONE all-zero embedding (an empty-doc
     # vector — and zero vectors reliably enter candidate sets: they land
     # in LSH bucket 0 / one IVF cell) would crash every JVM scoring path.
     # A zero-norm side yields NULL cosine instead; desc ordering sorts
     # NULLs last, so degenerate vectors simply never rank.
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    return F.try_divide(_dot(a, b, dim), _norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -795,7 +823,11 @@ def embedding_near_dup_pairs(
         pairs
         .join(vecs.select(F.col("_id").alias("a"), F.col("_vec").alias("va")), "a")
         .join(vecs.select(F.col("_id").alias("b"), F.col("_vec").alias("vb")), "b")
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        # dim passed through -> unrolled codegen cosine (bit-identical to
+        # the fold; the interpreted HOF dominated this verify at 6M
+        # candidate pairs on the sf1.0 salted corpus)
+        .withColumn("cosine",
+                    F.round(cosine_col(F.col("va"), F.col("vb"), dim), 6))
         .where(F.col("cosine") >= cosine_threshold)
         .select("a", "b", "cosine")
     )
