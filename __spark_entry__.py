@@ -315,7 +315,7 @@ def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_family="md5",
         # cap lifted so the output is the pure pigeonhole pair set the
         # oracle replays; the hot-bucket cap is exercised by its own test
-        max_bucket=1 << 30,
+        max_bucket=None,
     ).orderBy("a", "b")
 
 
@@ -331,7 +331,7 @@ def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             _truncated_salted_docs(spark, sf_dir)
             .withColumn("doc_id", F.col("doc_id").cast("string")),
             jaccard_threshold=0.8,
-            max_bucket=1 << 30,
+            max_bucket=None,
             hash_family="md5",
         )
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
@@ -361,7 +361,7 @@ def q25_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             tables=8, planes=8,
             # cap lifted so the output is the pure LSH-blocked pair set
             # the oracle replays; the cap is exercised by its own test
-            max_bucket=1 << 30,
+            max_bucket=None,
         )
         .select("a", "b", "cosine")
         .orderBy("a", "b")
@@ -589,7 +589,7 @@ def q31_near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").cast("string"))
     return (
         dedup.near_dedup_documents(
-            salted, jaccard_threshold=0.8, max_bucket=1 << 30,
+            salted, jaccard_threshold=0.8, max_bucket=None,
             hash_family="md5",
         )
         .select("doc_id")
@@ -1332,7 +1332,7 @@ def q70_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = _truncated_salted_docs(spark, sf_dir).withColumn(
         "doc_id", F.col("doc_id").cast("string"))
     return dedup.fuzzy_dup_clusters(
-        salted, jaccard_threshold=0.8, max_bucket=1 << 30,
+        salted, jaccard_threshold=0.8, max_bucket=None,
         hash_family="md5",
     ).orderBy("doc_id")
 
@@ -1763,7 +1763,7 @@ def q94_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = _truncated_salted_docs(spark, sf_dir).withColumn(
         "doc_id", F.col("doc_id").cast("string"))
     pairs = dedup.near_duplicate_pairs_minhash(
-        salted, jaccard_threshold=0.8, max_bucket=1 << 30,
+        salted, jaccard_threshold=0.8, max_bucket=None,
         hash_family="md5")
     spl = quality.assign_split(
         salted.select("doc_id"),

@@ -58,18 +58,63 @@ def _mh_coeffs(k: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(k)]
 
 
+def _raw_shingle_hash(col, hash_family: str):
+    """shingle -> full-width hash long: xxhash64 (fast path) or the
+    60-bit md5 prefix (cross-engine path — DuckDB computes the identical
+    value from the same 15 hex chars, see dedup.simhash_width). The full
+    width is what shingle SETS are represented by (collision odds ~2^-60
+    within one compared pair); the signature path folds it to [0, p)
+    with pmod (_shingle_hash)."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(col)
+    if hash_family == "md5":
+        return F.conv(
+            F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_family: {hash_family}")
+
+
 def _shingle_hash(col: str, hash_family: str):
     """shingle -> value in [0, p): xxhash64 (fast path) or md5-prefix
     (cross-engine path — DuckDB computes the identical value from the same
     15 hex chars, see dedup.simhash_width for the width rationale)."""
-    if hash_family == "xxhash64":
-        return F.pmod(F.xxhash64(col), F.lit(_MH_P))
-    if hash_family == "md5":
-        return F.pmod(
-            F.expr(f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as long)"),
-            F.lit(_MH_P),
+    return F.pmod(_raw_shingle_hash(col, hash_family), F.lit(_MH_P))
+
+
+def shingle_hash_rows(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, name) -> exploded (id, _sh) rows, _sh = full-width shingle
+    hash (r6, guide §4.1 "prefer built-ins"): position explode +
+    substring + hash is plain whole-stage codegen, replacing the
+    interpreted transform/array_distinct higher-order pass that built
+    shingle ARRAYS for every document before anything else ran.
+    DUPLICATE positions are retained — every consumer is either a
+    min-aggregate (minhash: min over a multiset equals min over its set)
+    or a collect_set. Same <n contract as with_shingles: a short string
+    yields its whole self as the single shingle (substring truncates),
+    so every named entity has at least one row."""
+    return (
+        entities.select(F.col(id_col).alias("id"),
+                        F.col(name_col).alias("nm"))
+        .select(
+            "id", "nm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("nm") - F.lit(n - 1), F.lit(1)))
+            ).alias("_i"),
         )
-    raise ValueError(f"unknown hash_family: {hash_family}")
+        .select(
+            "id",
+            _raw_shingle_hash(
+                F.col("nm").substr(F.col("_i"), F.lit(n)), hash_family
+            ).alias("_sh"),
+        )
+    )
 
 
 def minhash_df(sh_df: DataFrame, id_col: str = "id",
@@ -84,16 +129,24 @@ def minhash_df(sh_df: DataFrame, id_col: str = "id",
     local form (2.7x over the array-aggregate expression at sf0.1) and the
     scale-correct one.
     """
-    coeffs = _mh_coeffs(k)
     exploded = sh_df.select(
         F.col(id_col).alias("id"), F.explode(shingle_col).alias("_s")
     ).select("id", _shingle_hash("_s", hash_family).alias("_h"))
+    return _minhash_from_hash_rows(exploded, k)
+
+
+def _minhash_from_hash_rows(rows: DataFrame, k: int) -> DataFrame:
+    """(id, _h in [0, p)) rows -> (id, minhash ARRAY<LONG>), k-min scheme.
+    Shared by the array API above and the exploded-row fast path
+    (shingle_band_rows); duplicates in rows are harmless (min over a
+    multiset == min over its set)."""
+    coeffs = _mh_coeffs(k)
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MH_P))).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return (
-        exploded.groupBy("id")
+        rows.groupBy("id")
         .agg(*aggs)
         .select("id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash"))
     )
@@ -124,8 +177,14 @@ def minhash_df_oph(sh_df: DataFrame, id_col: str = "id",
     exploded = sh_df.select(
         F.col(id_col).alias("id"), F.explode(shingle_col).alias("_s")
     ).select("id", _shingle_hash("_s", hash_family).alias("_h"))
+    return _minhash_oph_from_hash_rows(exploded, k)
+
+
+def _minhash_oph_from_hash_rows(rows: DataFrame, k: int) -> DataFrame:
+    """(id, _h in [0, p)) rows -> (id, minhash), one-permutation scheme
+    (see minhash_df_oph); duplicate rows per shingle are harmless."""
     per_bucket = (
-        exploded
+        rows
         .withColumn("_b", F.pmod("_h", F.lit(k)).cast("int"))
         .groupBy("id", "_b")
         .agg(F.min("_h").alias("_mh"))
@@ -151,7 +210,7 @@ def capped_self_join_pairs(
     rows: DataFrame,
     bucket_cols: tuple,
     id_col: str = "id",
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
     metrics: dict | None = None,
     payload_cols: tuple = (),
 ) -> DataFrame:
@@ -167,17 +226,28 @@ def capped_self_join_pairs(
     "capped_rows"} — the reported recall loss of the cap.
     """
     keys = list(bucket_cols)
-    counts = rows.groupBy(*keys).agg(F.count("*").alias("_bc")).persist()
-    if metrics is not None:
-        over = (
-            counts.where(F.col("_bc") > max_bucket)
-            .agg(F.count("*").alias("b"),
-                 F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
-            .first()
-        )
-        metrics["capped_buckets"] = over["b"]
-        metrics["capped_rows"] = int(over["r"])
-    capped = rows.join(counts.where(F.col("_bc") <= max_bucket), keys)
+    counts = None
+    if max_bucket is None:
+        # cap disabled (oracle-replay callers lift it): skip the
+        # occupancy aggregate + join entirely — one less job and one
+        # less exchange per pair stage (r6)
+        if metrics is not None:
+            metrics["capped_buckets"] = 0
+            metrics["capped_rows"] = 0
+        capped = rows
+    else:
+        counts = rows.groupBy(*keys).agg(
+            F.count("*").alias("_bc")).persist()
+        if metrics is not None:
+            over = (
+                counts.where(F.col("_bc") > max_bucket)
+                .agg(F.count("*").alias("b"),
+                     F.coalesce(F.sum("_bc"), F.lit(0)).alias("r"))
+                .first()
+            )
+            metrics["capped_buckets"] = over["b"]
+            metrics["capped_rows"] = int(over["r"])
+        capped = rows.join(counts.where(F.col("_bc") <= max_bucket), keys)
     left = capped.select(
         *keys, F.col(id_col).alias("a"),
         *[F.col(p).alias(f"{p}_a") for p in payload_cols],
@@ -195,7 +265,8 @@ def capped_self_join_pairs(
         .dropDuplicates(["a", "b"])
         .localCheckpoint()  # eager: materialize candidates once
     )
-    counts.unpersist()
+    if counts is not None:
+        counts.unpersist()
     return pairs
 
 
@@ -211,9 +282,12 @@ def shingle_band_rows(
 ) -> tuple:
     """Shared signature/banding front half of every MinHash consumer
     (lsh_candidate_pairs here, the written incremental index in
-    dedup.py): returns (shingles_df PERSISTED as (id, shingles), banding
-    rows (id, band, band_hash)). The CALLER owns the shingle cache —
-    unpersist it once its pair set / index write is materialized.
+    dedup.py): returns (shingles_df PERSISTED as (id, shingles) where
+    ``shingles`` is the document's sorted DISTINCT full-width
+    shingle-hash set (array<long>; r6 — set identity by hash, ~2^-60
+    per-pair collision odds), banding rows (id, band, band_hash)). The
+    CALLER owns the shingle cache — unpersist it once its pair set /
+    index write is materialized.
 
     SLIM banding rows: (id, band, band_hash) only. Carrying the shingle
     arrays through a self-join shuffles ~|shingles| strings per banded
@@ -231,20 +305,34 @@ def shingle_band_rows(
             f"slots and the effective S-curve would differ from the "
             f"requested (k, bands) tuning")
     r = k // bands
-    sh = with_shingles(
-        entities.select(F.col(id_col).alias("id"), F.col(name_col).alias("nm")),
-        "nm", n=n,
-    ).select("id", "shingles")
-    # shingle sets reused on several plan branches (banding + verify
-    # sides) — materialize once
-    sh = sh.persist()
+    # r6 shape: the signature path consumes EXPLODED codegen hash rows
+    # (shingle_hash_rows) — no interpreted array build, no distinct (min
+    # aggregates ignore duplicates). The returned `sh` frame now carries
+    # each document's DISTINCT shingle-hash set (array<long>, full-width
+    # hash) instead of the string array: the exact-Jaccard verify and the
+    # written index operate on 8-byte longs with ~2^-60 per-pair
+    # collision odds, cutting both the verify-join bytes and the
+    # interpreted per-shingle work that dominated the signature stage.
+    rows = shingle_hash_rows(entities, id_col, name_col, n=n,
+                             hash_family=hash_family)
+    sh = (
+        rows.groupBy("id")
+        .agg(F.sort_array(F.collect_set("_sh")).alias("shingles"))
+        .persist()
+    )
+    # signature rows re-explode the CACHED distinct sets (min aggregates
+    # are set functions, so distinct vs multiset is identical) — the
+    # corpus text is scanned and hashed exactly ONCE per banding pass
+    sig_rows = (
+        sh.select("id", F.explode("shingles").alias("_sh"))
+        .select("id", F.pmod("_sh", F.lit(_MH_P)).alias("_h"))
+    )
     if scheme == "oph":
         # one-permutation hashing: ~k× less aggregation CPU on the
         # signature stage (see minhash_df_oph); banding/verify unchanged
-        mh = minhash_df_oph(sh, "id", "shingles", k=k,
-                            hash_family=hash_family)
+        mh = _minhash_oph_from_hash_rows(sig_rows, k)
     elif scheme == "kmin":
-        mh = minhash_df(sh, "id", "shingles", k=k, hash_family=hash_family)
+        mh = _minhash_from_hash_rows(sig_rows, k)
     else:
         raise ValueError(f"unknown minhash scheme: {scheme}")
     banded = mh.select(
@@ -267,7 +355,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     n: int = 3,
     jaccard_threshold: float = 0.6,
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
     metrics: dict | None = None,
     hash_family: str = "xxhash64",
     scheme: str = "kmin",

@@ -60,7 +60,7 @@ def near_duplicate_pairs_minhash(
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
     hash_family: str = "xxhash64",
     scheme: str = "kmin",
 ) -> DataFrame:
@@ -102,7 +102,7 @@ def near_dedup_documents(
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
     hash_family: str = "xxhash64",
     scheme: str = "kmin",
 ) -> DataFrame:
@@ -180,7 +180,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
     metrics: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4 equal-width chunks): docs within
@@ -418,7 +418,7 @@ def write_minhash_index(
     hash_family: str = "xxhash64",
     scheme: str = "oph",
     n_buckets: int = 64,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
 ) -> dict:
     """Persist the corpus's MinHash banding table + shingle sets for
     INCREMENTAL dedup (continuous-crawl staple: dedup each new batch
@@ -497,6 +497,9 @@ def write_minhash_index(
         "hash_family": hash_family, "scheme": scheme,
         "n_buckets": n_buckets, "max_bucket": max_bucket,
         "n_capped_rows": int(n_capped),
+        # shingle sets are stored as full-width hash longs (r6); probes
+        # refuse an index written under a different representation
+        "shingle_repr": "hash64",
     }
     with open(os.path.join(path, "_minhash_manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -593,6 +596,12 @@ def dedup_against_index(
     spark = new_df.sparkSession
     with open(os.path.join(path, "_minhash_manifest.json")) as f:
         m = json.load(f)
+    if m.get("shingle_repr") != "hash64":
+        raise ValueError(
+            "dedup_against_index: index at " + path + " stores shingles "
+            "in representation " + repr(m.get("shingle_repr")) + " but "
+            "this build verifies against full-width hash sets "
+            "('hash64') — rebuild the index with write_minhash_index")
     n_buckets = m["n_buckets"]
     sh_new, banded_new = shingle_band_rows(
         new_df, id_col, text_col, k=m["k"], bands=m["bands"],
@@ -892,7 +901,7 @@ def fuzzy_dup_clusters(
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
     hash_family: str = "xxhash64",
     scheme: str = "kmin",
 ) -> DataFrame:

@@ -785,7 +785,7 @@ def embedding_near_dup_pairs(
     planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
     metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify.
