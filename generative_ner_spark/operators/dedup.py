@@ -473,13 +473,20 @@ def write_minhash_index(
                   .withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") <= max_bucket).drop("_rn"))
     banding_path = os.path.join(path, "banding")
+    # repartition by the layout key before the partitioned write (guide
+    # §6 file sizing): without it every upstream task writes a sliver
+    # into every bucket directory — tasks x n_buckets tiny files whose
+    # open/commit overhead dominates the write locally and poisons every
+    # later probe's listing at scale; with it each bucket is one file
     (banded
      .withColumn("_bkt", F.pmod(F.col("band_hash"), F.lit(n_buckets)))
+     .repartition(F.col("_bkt"))
      .write.partitionBy("_bkt").mode("overwrite")
      .parquet(banding_path))
     (sh
      .withColumn("_sbkt", F.pmod(F.xxhash64(F.col("id").cast("string")),
                                  F.lit(n_buckets)))
+     .repartition(F.col("_sbkt"))
      .write.partitionBy("_sbkt").mode("overwrite")
      .parquet(os.path.join(path, "shingles")))
     sh.unpersist()
@@ -538,13 +545,17 @@ def append_to_minhash_index(
         n=m["shingle_n"], hash_family=m["hash_family"], scheme=m["scheme"],
     )
     n_buckets = m["n_buckets"]
+    # same pre-write repartition as write_minhash_index: one file per
+    # touched bucket per append instead of tasks x buckets slivers
     (banded
      .withColumn("_bkt", F.pmod(F.col("band_hash"), F.lit(n_buckets)))
+     .repartition(F.col("_bkt"))
      .write.partitionBy("_bkt").mode("append")
      .parquet(os.path.join(path, "banding")))
     (sh
      .withColumn("_sbkt", F.pmod(F.xxhash64(F.col("id").cast("string")),
                                  F.lit(n_buckets)))
+     .repartition(F.col("_sbkt"))
      .write.partitionBy("_sbkt").mode("append")
      .parquet(os.path.join(path, "shingles")))
     sh.unpersist()

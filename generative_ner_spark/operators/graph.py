@@ -231,11 +231,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # middle b each get |common|, every c in common gets 1.
     adjl = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("_nb"))
+    # re-derive each base edge by exploding the adjacency list itself —
+    # (src, dst, _nba) comes out of ONE generator over adjl instead of a
+    # second E-row join shipping the src-side arrays
+    # shuffle_hash hint: Catalyst's size ESTIMATE for adjl ignores the
+    # neighbor arrays' real width, so it picks a broadcast build that
+    # OOMs the driver on sf1.0's ~200k x 45-long arrays; a per-partition
+    # hash build is the right strategy at every scale here
     tri = (
-        oriented
-        .join(adjl.withColumnRenamed("_nb", "_nba"), "src")
+        adjl.select("src", F.col("_nb").alias("_nba"),
+                    F.explode("_nb").alias("dst"))
         .join(adjl.select(F.col("src").alias("dst"),
-                          F.col("_nb").alias("_nbb")), "dst")
+                          F.col("_nb").alias("_nbb")).hint("shuffle_hash"),
+              "dst")
         .withColumn("_common", F.array_intersect("_nba", "_nbb"))
         .withColumn("_n", F.size("_common"))
         .where(F.col("_n") > 0)
@@ -623,6 +631,8 @@ def adamic_adar(
     min_score: float = 0.0,
     exclude_existing: bool = True,
     round_to: int = 6,
+    max_apex_degree: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003) over a canonical
     undirected edge list: for every node pair sharing >= 1 neighbor,
@@ -642,8 +652,34 @@ def adamic_adar(
     is on the slim canonical list. ln(deg) from exact integers =>
     only the pair sum carries the round-``round_to`` contract (q90
     oracle).
+
+    ``max_apex_degree`` (r6, closing the one operator left without an
+    in-operator hub bound): a single apex of degree D contributes
+    C(D, 2) wedge rows — a 10^6-degree hub fed directly as an edge list
+    melts one reducer with 5*10^11 rows. Apexes above the cap are
+    EXCLUDED whole (their 1/ln(deg) terms are the smallest in any pair's
+    sum, so dropping them biases scores down, never up — the same
+    drop-don't-sample policy as cooccurrence_edges' basket cap), and
+    ``metrics`` receives {"capped_apexes", "capped_wedge_rows"} — the
+    reported score-mass loss. None (default) keeps the exact
+    definition; callers feeding untrusted edge lists should set it.
     """
     deg = degrees(edges)
+    if max_apex_degree is not None:
+        if metrics is not None:
+            over = (
+                deg.where(F.col("degree") > max_apex_degree)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(
+                        F.sum(F.col("degree") * (F.col("degree") - 1) / 2),
+                        F.lit(0.0)).alias("w"),
+                )
+                .first()
+            )
+            metrics["capped_apexes"] = over["n"]
+            metrics["capped_wedge_rows"] = int(over["w"])
+        deg = deg.where(F.col("degree") <= max_apex_degree)
     adj = _symmetric(edges).join(
         deg.withColumnRenamed("node", "src"), "src")
     # wedge at apex=src: every dst pair (b < c) sharing the apex

@@ -105,11 +105,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # TRUE mean over token lengths: the (chars - separators)/tokens
     # shortcut assumed exactly one separator char between tokens, so
     # runs of whitespace or padding (common in scraped corpora) inflated
-    # the feature and skewed any threshold on it
-    token_len_sum = F.expr(
-        f"aggregate(filter(split(trim({text_col}), '\\\\s+'), x -> x != ''), "
-        f"0, (acc, t) -> acc + length(t))"
-    )
+    # the feature and skewed any threshold on it.
+    # Computed as length(text minus all \s runs) — the concatenation of
+    # the split-on-\s+ tokens is exactly the non-whitespace characters,
+    # so this ONE codegen'd regex pass equals the r5 split+filter+
+    # aggregate fold, whose interpreted per-token lambda dominated the
+    # projection (guide §4.1: higher-order lambdas are CodegenFallback)
+    token_len_sum = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", ""))
     return df.select(
         "*",
         n_chars.alias("q_n_chars"),

@@ -4920,6 +4920,30 @@ class TestAdamicAdar:
         assert r.n_common == 2
         assert r.aa == round(1 / math.log(2) + 1 / math.log(3), 6)
 
+    def test_planted_hub_capped(self, spark):
+        """max_apex_degree drops a planted hub's wedges whole (with the
+        capped-count metric) while low-degree apexes keep exact scores —
+        the in-operator guard for untrusted edge lists whose absence was
+        the r5 'weak' flag."""
+        from generative_ner_spark.operators import graph
+        import math
+
+        hub = [("h", f"n{i}") for i in range(50)]  # deg(h) = 50
+        star = [("z", "a"), ("z", "b")]            # deg(z) = 2
+        edges = spark.createDataFrame(
+            hub + star, "src string, dst string")
+        metrics: dict = {}
+        out = {(r.a, r.b): r for r in graph.adamic_adar(
+            edges, max_apex_degree=10, metrics=metrics).collect()}
+        # every hub wedge (n_i, n_j) is gone; the z wedge survives exact
+        assert all("n" not in a or "n" not in b for a, b in out)
+        assert out[("a", "b")].aa == round(1 / math.log(2), 6)
+        assert metrics["capped_apexes"] == 1
+        assert metrics["capped_wedge_rows"] == 50 * 49 // 2
+        # uncapped default is unchanged: hub wedges present
+        full = graph.adamic_adar(edges)
+        assert full.where("a = 'n0' and b = 'n1'").count() == 1
+
 
 class TestThrottleEvents:
     def test_island_firsts_survive(self, spark):
