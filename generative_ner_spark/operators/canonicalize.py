@@ -170,9 +170,10 @@ def minhash_df_oph(sh_df: DataFrame, id_col: str = "id",
     lowering banding recall for short docs — the exact-Jaccard verify
     stage is unaffected, so precision is identical to the k-min scheme.
 
-    Distributed shape: explode -> groupBy(id, bucket) min (map-side
-    combine collapses to <= k rows per id BEFORE the shuffle) ->
-    groupBy(id) map_from_entries -> O(1)-tree transform densification.
+    Distributed shape: explode -> ONE groupBy(id) with k conditional
+    min aggregates + the global min (map-side combine collapses each id
+    to k+1 values BEFORE the shuffle), densification as a flat coalesce
+    projection — see _minhash_oph_from_hash_rows.
     """
     exploded = sh_df.select(
         F.col(id_col).alias("id"), F.explode(shingle_col).alias("_s")
@@ -182,28 +183,32 @@ def minhash_df_oph(sh_df: DataFrame, id_col: str = "id",
 
 def _minhash_oph_from_hash_rows(rows: DataFrame, k: int) -> DataFrame:
     """(id, _h in [0, p)) rows -> (id, minhash), one-permutation scheme
-    (see minhash_df_oph); duplicate rows per shingle are harmless."""
-    per_bucket = (
-        rows
-        .withColumn("_b", F.pmod("_h", F.lit(k)).cast("int"))
-        .groupBy("id", "_b")
-        .agg(F.min("_h").alias("_mh"))
-    )
-    per_id = per_bucket.groupBy("id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("_b", "_mh"))
-        ).alias("_m"),
-        F.min("_mh").alias("_gmin"),
-    )
+    (see minhash_df_oph); duplicate rows per shingle are harmless.
+
+    r6 shape: ONE groupBy with k conditional mins
+    (min(when(_b = i, _h))) plus the global min — value-identical to
+    the r5 two-stage form (per-bucket min -> map_from_entries ->
+    transform densification) but with one exchange instead of two and
+    zero interpreted HOF work; the conditional is a comparison per
+    (row, slot), strictly cheaper than the k-universal family's
+    mul+add+pmod per (row, slot). Benched 20.9 s -> kmin-parity on the
+    sf1.0 salted corpus where the two-stage shape was 2.5x slower than
+    the k-min scheme it was meant to beat."""
     C = 0x9E3779B1  # odd constant spreads densified slots over [0, p)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_m"), i.cast("int")),
-            F.pmod(F.col("_gmin") + i.cast("long") * F.lit(C), F.lit(_MH_P)),
-        ),
-    )
-    return per_id.select("id", sig.alias("minhash"))
+    bucketed = rows.withColumn("_b", F.pmod("_h", F.lit(k)).cast("int"))
+    aggs = [
+        F.min(F.when(F.col("_b") == i, F.col("_h"))).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    per_id = bucketed.groupBy("id").agg(*aggs, F.min("_h").alias("_gmin"))
+    slots = [
+        F.coalesce(
+            F.col(f"_m{i}"),
+            F.pmod(F.col("_gmin") + F.lit(i) * F.lit(C), F.lit(_MH_P)),
+        )
+        for i in range(k)
+    ]
+    return per_id.select("id", F.array(*slots).alias("minhash"))
 
 
 def capped_self_join_pairs(

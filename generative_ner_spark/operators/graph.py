@@ -37,6 +37,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Iterative operators truncate lineage every this-many steps instead of
+# every step (see pagerank's docstring for the rationale): short lazy
+# chains are planned once by their single downstream action.
+_CHECKPOINT_EVERY = 4
+
+
 def cooccurrence_edges(
     df: DataFrame,
     basket_col: str,
@@ -141,9 +147,14 @@ def pagerank(
     degree-annotated symmetric adjacency is repartitioned by src and
     persisted up front; the rank frame arrives hash-partitioned on
     ``node`` from the previous groupBy, so the join aligns both sides
-    without reshuffling. ``localCheckpoint`` after every step truncates
-    the lineage — without it Catalyst re-plans an n_iter-deep join tree
-    per action and driver time grows quadratically in iterations.
+    without reshuffling. Lineage is truncated with ``localCheckpoint``
+    every ``_CHECKPOINT_EVERY`` iterations rather than every step (r6):
+    each step's output feeds exactly one consumer, so a short lazy chain
+    is planned ONCE by the single downstream action — the per-step
+    checkpoint paid an eager job + a full rank materialization per
+    iteration for a lineage problem that only exists past ~5 chained
+    steps (quadratic re-planning per ACTION was the r1 failure mode;
+    with one action per chunk, planning is linear in chunk length).
     """
     spark = edges.sparkSession
     deg = degrees(edges).persist()
@@ -162,7 +173,7 @@ def pagerank(
         "node", (F.lit(1.0) / F.lit(float(n))).alias("pr")
     ).localCheckpoint()
     teleport = (1.0 - damping) / float(n)
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contribs = (
             adj.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -177,8 +188,9 @@ def pagerank(
                  + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                  ).alias("pr"),
             )
-            .localCheckpoint()
         )
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and (it + 1) < n_iter:
+            ranks = ranks.localCheckpoint()
     out = ranks.join(deg, "node").select(
         "node", "degree",
         (F.round("pr", round_to) if round_to is not None

@@ -60,8 +60,17 @@ def rows_key(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # optional: --json PATH writes a driver-shaped per-query artifact
+    # (CORRECTNESS_FULL.json, r5 VERDICT "next round" item 3) covering
+    # the FULL contract, not just the driver's 50-query window
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from generative_ner_spark.plans.session import build_session
 
@@ -82,6 +91,7 @@ def main():
         raise SystemExit(f"unknown query name(s): {sorted(unknown)}; "
                          f"known: {sorted(qs)}")
     failures = []
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,9 +102,17 @@ def main():
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL {name}: spark error {ex}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"SPARK ERROR: {ex}"[:500]}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows")
+            report[name] = {
+                "rows_match": True, "schema_match": True,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None}
             continue
         try:
             res = con.execute(oracles[name])
@@ -103,19 +121,32 @@ def main():
         except Exception as ex:
             failures.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL {name}: duckdb error {ex}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"DUCKDB ERROR: {ex}"[:500]}
             continue
         problems = []
-        if len(srows) != len(drows):
+        rows_match = len(srows) == len(drows)
+        schema_match = sorted(scols) == sorted(dcols)
+        hash_match = False
+        if not rows_match:
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        if not schema_match:
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         if not problems:
             sk, dk = rows_key(srows, scols), rows_key(drows, dcols)
-            if sk != dk:
+            hash_match = sk == dk
+            if not hash_match:
                 diff = [
                     (a, b) for a, b in zip(sk, dk) if a != b
                 ][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems)[:500] if problems else None}
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -123,6 +154,12 @@ def main():
             print(f"ok   {name}: {len(srows)} rows match oracle")
 
     print(f"\n{len(failures)} failures / {len(qs)} queries")
+    if json_path is not None:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_path} ({len(report)} queries)")
     sys.exit(1 if failures else 0)
 
 
