@@ -52,6 +52,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _par(df) if name in _PAR_TABLES else df
 
 
+def _t_seq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read WITHOUT the _par scan repartition — for scan-cheap queries
+    (one md5 per row, or no text column at all) where the
+    parallelization exchange costs more than the serial compute it
+    would spread (measured in OPTIMIZATION_r06: q22/q44/q97 regressed
+    0.3-0.6 s each under _par while gaining nothing)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 # ---------------------------------------------------------------------------
 # Relational operator grounding (SURVEY.md §2: S6, S20, S28 analogues + the
 # join/window/agg machinery the KG stages are built from)
@@ -502,7 +511,7 @@ def q22_batch_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-bucketed counts + broadcast offsets + per-bucket window)."""
     from generative_ner_spark.operators import batchapi
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_seq(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("example_id"),
         F.array(
             F.struct(F.lit("user").alias("role"), F.col("text").alias("content"))
@@ -875,7 +884,7 @@ def q44_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowwise md5-interval assignment — hash-stable across re-runs and
     cluster sizes (unlike randomSplit), zero shuffle. Weights 90/5/5;
     intervals laid out in sorted-name order (test, train, valid)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _t_seq(spark, sf_dir, "documents").select("doc_id")
     return quality.assign_split(
         d, {"train": 0.9, "valid": 0.05, "test": 0.05}
     ).orderBy("doc_id")
@@ -1643,7 +1652,7 @@ def q87_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes heterogeneous signals comparable across groups. ONE
     window exchange; exact integer rank arithmetic => float-exact
     oracle."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _t_seq(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return quality.group_percent_rank(
         d, group_col="lang", value_col="n_chars",
     ).orderBy("doc_id")
