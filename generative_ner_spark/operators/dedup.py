@@ -19,6 +19,7 @@ Embedding-cosine near-dup lives in similarity.py (same LSH-bucket shape).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,18 +161,59 @@ def with_simhash(df: DataFrame, text_col: str = "text",
         f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''), "
         f"{token_hash})"
     )
-    bit_terms = []
-    for i in range(width):
-        bit_terms.append(
-            f"CAST(aggregate(_sh_hs, 0L, (acc, h) -> acc + "
-            f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 AS LONG) << {i}"
-        )
-    expr = " | ".join(f"({t})" for t in bit_terms)
+    # r6b fold (guide §4.2 "do the heavy lifting in native code"): the
+    # per-bit sign sums used to be `width` interpreted aggregate() HOFs
+    # (CodegenFallback — ~width passes over every token hash per row,
+    # the measured bulk of the q19 signature stage). Token hashes are
+    # still computed ONCE in the JVM (one codegen transform); the dense
+    # 64-bit fold crosses to numpy as an Arrow list<long> column — still
+    # zero-shuffle — where bit i's count-of-ones per doc is one cumsum
+    # over the flattened batch. Exact-integer parity with the SQL fold:
+    # sum(+/-1) > 0  <=>  2 * ones > n_tokens; numpy's >> on int64 is
+    # the same arithmetic shift; packing ORs uint64 lanes and
+    # reinterprets — identical two's-complement result for bit 63.
     return (
         df.withColumn("_sh_hs", F.expr(hashes))
-        .withColumn(out, F.expr(expr))
+        .withColumn(out, _simhash_fold_udf(width)(F.col("_sh_hs")))
         .drop("_sh_hs")
     )
+
+
+def _simhash_fold_udf(width: int):
+    """Closure factory (PySpark udf arity gotcha): pandas_udf folding a
+    list<long> token-hash column into the ``width``-bit SimHash long.
+    NULL arrays stay NULL (the JVM fold's behavior); empty arrays fold
+    to 0 (every sign sum is 0, 0 > 0 is false)."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        n_rows = len(hs)
+        null_mask = np.array([v is None for v in hs], dtype=bool)
+        lens = np.array(
+            [0 if v is None else len(v) for v in hs], dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        total = int(ends[-1]) if n_rows else 0
+        if total:
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in hs
+                 if v is not None and len(v)])
+        else:
+            flat = np.empty(0, dtype=np.int64)
+        sig = np.zeros(n_rows, dtype=np.uint64)
+        csum = np.empty(total + 1, dtype=np.int64)
+        csum[0] = 0
+        for i in range(width):
+            np.cumsum((flat >> i) & 1, out=csum[1:])
+            ones = csum[ends] - csum[starts]
+            bit = (2 * ones > lens).astype(np.uint64)
+            sig |= bit << np.uint64(i)
+        out = pd.array(sig.view(np.int64), dtype="Int64")
+        out[null_mask] = pd.NA
+        return pd.Series(out)
+
+    return fold
 
 
 def simhash_near_dup_pairs(
@@ -840,10 +882,14 @@ def jaccard_set_join(
         .distinct()
         .persist()  # feeds df-rank, sizes, verification arrays
     )
-    dfreq = sh.groupBy("tok").agg(F.count("*").alias("_df"))
+    # r6b: the document frequency is a COUNT OVER a tok-partitioned
+    # window instead of a separate groupBy + join-back — one exchange of
+    # the shingle rows (by tok) replaces two passes (the dfreq aggregate
+    # AND re-shuffling sh against it); values are identical (count of
+    # distinct (_id, tok) rows per tok IS the df).
     wdoc = Window.partitionBy("_id")
     ranked = (
-        sh.join(dfreq, "tok")
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("tok")))
         .withColumn("_pos", F.row_number().over(
             wdoc.orderBy("_df", "tok")))
         .withColumn("_n", F.count("*").over(wdoc))
@@ -853,9 +899,15 @@ def jaccard_set_join(
     # below what losslessness requires; nudging down by 1e-9 restores the
     # exact-integer case and can only LENGTHEN the prefix otherwise
     # (more candidates — never fewer, so never lossy)
+    # materialized ONCE (slim: 4 longs/row) before feeding BOTH sides of
+    # the candidate self-join — the two join sides are separately
+    # re-analyzed plans, so without the checkpoint each side re-ran the
+    # whole df-rank window pass (r6b; the persist on sh bounds that
+    # recompute at the shingle cache, not at the ranked rows)
     prefix = ranked.where(
         F.col("_pos")
-        <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - F.lit(1e-9)) + 1)
+        <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - F.lit(1e-9)) + 1
+    ).select("tok", "_id", "_n", "_pos").localCheckpoint()
     # PPJoin POSITIONAL filter (Xiao et al. §3.2, the r6 addition): a pair
     # matching on shingle w at sorted positions (pa, pb) can share at most
     # min(pa-1, pb-1) shingles before w, w itself, and min(na-pa, nb-pb)

@@ -366,8 +366,10 @@ def random_walks(
         .repartition("src")
         .persist()
     )
+    # persisted: the mod-degree join probes this every step — unpersisted
+    # it re-ran the 2E-row adjacency aggregate once per walk step (r6)
     deg = adj.groupBy(F.col("src").alias("_cur")).agg(
-        F.count("*").alias("_deg"))
+        F.count("*").alias("_deg")).persist()
     start_nodes = (
         seeds.select(F.col(node_col).alias("node")).distinct()
         if seeds is not None
@@ -385,16 +387,22 @@ def random_walks(
                     F.col("_w").cast("string")).alias("walk_id"),
         F.col("node").alias("start_node"),
     )
-    visited = walks.select(
+    # the ONE md5-prefix hash home (quality._md5_rank) — salt:walk:step
+    from generative_ner_spark.operators.quality import _md5_rank
+
+    # steps accumulate as SEPARATE checkpointed frames, unioned once at
+    # the end (r6): the iteration only ever consumes the previous step's
+    # frontier, never the visited union, so the r5 per-step
+    # visited-union localCheckpoint re-materialized the whole walk
+    # history every step — O(steps^2) rows copied for nothing. The
+    # final union is walk_len + 1 shallow scans of checkpointed frames.
+    steps = [walks.select(
         "walk_id", "start_node", F.lit(0).alias("step"),
         F.col("start_node").alias("node"),
-    ).localCheckpoint()
-    frontier = visited.select("walk_id", "start_node",
-                              F.col("node").alias("_cur"))
+    ).localCheckpoint()]
+    frontier = steps[0].select("walk_id", "start_node",
+                               F.col("node").alias("_cur"))
     for i in range(1, walk_len + 1):
-        # the ONE md5-prefix hash home (quality._md5_rank) — salt:walk:step
-        from generative_ner_spark.operators.quality import _md5_rank
-
         h = _md5_rank(
             F.concat_ws(":", F.col("walk_id").cast("string"),
                         F.lit(str(i))), salt)
@@ -408,10 +416,14 @@ def random_walks(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        steps.append(nxt)
         frontier = nxt.select("walk_id", "start_node",
                               F.col("node").alias("_cur"))
     adj.unpersist()
+    deg.unpersist()
+    visited = steps[0]
+    for s in steps[1:]:
+        visited = visited.unionByName(s)
     return visited
 
 
@@ -447,15 +459,23 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     n_iter) — reproducible on any cluster size, replayed exactly by
     the q71 oracle's unrolled SQL.
 
-    Scale shape: per round, one join of the persisted src-partitioned
-    adjacency against the label frame and TWO map-side-combined
-    aggregates ((node, label) counts, then a max_by argmax per node) —
-    all keyed on uniform node/label ids; localCheckpoint per round
-    truncates lineage.
+    Scale shape: per round, one join of the persisted adjacency against
+    the label frame and TWO map-side-combined aggregates ((node, label)
+    counts, then a max_by argmax per node) — all keyed on uniform
+    node/label ids; localCheckpoint per round truncates lineage. The
+    adjacency is persisted partitioned by ``dst`` — the key every
+    round's join actually probes (labels arrive hash-partitioned on
+    node from the previous argmax, so BOTH join sides align and the
+    per-round Exchange count drops from 3 to 2; the r5 shape
+    partitioned by src, which no per-round operation used, and paid a
+    full adjacency reshuffle every round). The initial label frame
+    reads node ids off the ``dst`` column for the same reason — in a
+    symmetric adjacency src and dst carry the identical node set, and
+    dst-partitioning makes that distinct exchange-free.
     """
-    adj = _symmetric(edges).repartition("src").persist()
+    adj = _symmetric(edges).repartition("dst").persist()
     labels = (
-        adj.select(F.col("src").alias("node")).distinct()
+        adj.select(F.col("dst").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
@@ -544,21 +564,34 @@ def hits(
     rounds.
 
     Scale shape (the PageRank argument): the distinct edge list is
-    repartitioned on the join side and persisted once; each half-step
-    is ONE map-side-combined groupBy; normalization totals cross the
-    driver as single scalars; localCheckpoint truncates lineage so
-    Catalyst never re-plans an n_iter-deep tree.
+    persisted TWICE, partitioned by src and by dst — the two keys the
+    alternating half-steps join on — so neither half-step reshuffles
+    the edges (the score frame arrives hash-partitioned on node from
+    the previous groupBy, and both join sides align; the r5 single
+    unpartitioned copy paid a full edge reshuffle on every half-step).
+    Each half-step is ONE map-side-combined groupBy; normalization
+    totals cross the driver as single scalars; the RAW per-half-step
+    aggregate is localCheckpointed (it feeds both the total and the
+    normalized frame) and the normalized frames stay lazy projections
+    of it — checkpointing them too (r5) materialized every score frame
+    twice.
     """
-    e = edges.select("src", "dst").distinct().persist()
+    base = edges.select("src", "dst")
+    # repartition BEFORE distinct: hashpartitioning(src) satisfies the
+    # (src, dst) aggregation's clustering, so each copy costs one
+    # exchange and comes out partitioned on its join key
+    e_src = base.repartition("src").distinct().persist()
+    e_dst = base.repartition("dst").distinct().persist()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e_src.select(F.col("src").alias("node"))
+        .unionByName(e_dst.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
     n = nodes.count()
     if n == 0:
-        e.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
         return nodes.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth"))
     hub = nodes.select(
@@ -567,23 +600,23 @@ def hits(
     auth = None
     for _ in range(n_iter):
         araw = (
-            e.join(hub.withColumnRenamed("node", "src"), "src")
+            e_src.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("_raw"))
         ).localCheckpoint()
         atot = araw.agg(F.sum("_raw")).first()[0]
         auth = araw.select(
             "node", (F.col("_raw") / F.lit(float(atot))).alias("auth")
-        ).localCheckpoint()
+        )
         hraw = (
-            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("_raw"))
         ).localCheckpoint()
         htot = hraw.agg(F.sum("_raw")).first()[0]
         hub = hraw.select(
             "node", (F.col("_raw") / F.lit(float(htot))).alias("hub")
-        ).localCheckpoint()
+        )
     out = (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")
@@ -598,7 +631,8 @@ def hits(
             "node", F.round("hub", round_to).alias("hub"),
             F.round("auth", round_to).alias("auth"))
     out = out.localCheckpoint()
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     nodes.unpersist()
     return out
 
