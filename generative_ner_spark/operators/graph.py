@@ -157,9 +157,15 @@ def pagerank(
     with one action per chunk, planning is linear in chunk length).
     """
     spark = edges.sparkSession
-    deg = degrees(edges).persist()
+    # persist the SLIM canonical list first (r6b, guide §5): ``edges`` is
+    # typically a lazy builder (the co-occurrence groupBy chain) and this
+    # operator expands it twice — once under degrees, once under the
+    # symmetric adjacency; uncached, each expansion re-ran the whole
+    # upstream build
+    e = edges.select("src", "dst").persist()
+    deg = degrees(e).persist()
     adj = (
-        _symmetric(edges)
+        _symmetric(e)
         .join(deg.withColumnRenamed("node", "src"), "src")
         .repartition("src")
         .persist()
@@ -168,6 +174,7 @@ def pagerank(
     if n == 0:  # empty graph: empty (node, degree, pr) frame, no 1/0
         deg.unpersist()
         adj.unpersist()
+        e.unpersist()
         return deg.withColumn("pr", F.lit(0.0)).where(F.lit(False))
     ranks = deg.select(
         "node", (F.lit(1.0) / F.lit(float(n))).alias("pr")
@@ -202,6 +209,7 @@ def pagerank(
     out = out.localCheckpoint()
     adj.unpersist()
     deg.unpersist()
+    e.unpersist()
     return out
 
 
@@ -218,8 +226,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     closing join is on the slim canonical list. Each triangle then
     credits its three vertices via a 3-way unpivot + groupBy.
     """
-    deg = degrees(edges)
+    # NO persist of the input here (r6b, measured): this operator runs
+    # as ONE action (the output checkpoint), and Spark's exchange reuse
+    # dedups the identical co-occurrence subtrees under degrees and the
+    # ranked frame within a single plan — a persist only added an eager
+    # materialization (q59/q73 flat-to-worse at sf0.1). Cross-ACTION
+    # reuse, where persist does pay, is the callers' job
+    # (clustering_coefficient persists; triangle_count_approx
+    # checkpoints its sample).
     e = edges.select("src", "dst")
+    deg = degrees(e)
     ranked = (
         _symmetric(e)
         .join(deg.withColumnRenamed("node", "src")
@@ -578,10 +594,12 @@ def hits(
     """
     base = edges.select("src", "dst")
     # repartition BEFORE distinct: hashpartitioning(src) satisfies the
-    # (src, dst) aggregation's clustering, so each copy costs one
-    # exchange and comes out partitioned on its join key
+    # (src, dst) aggregation's clustering, so the copy costs one
+    # exchange and comes out partitioned on its join key; the dst copy
+    # is derived FROM the cached src copy (already distinct — one more
+    # slim exchange, no second expansion of the upstream edge build)
     e_src = base.repartition("src").distinct().persist()
-    e_dst = base.repartition("dst").distinct().persist()
+    e_dst = e_src.repartition("dst").persist()
     nodes = (
         e_src.select(F.col("src").alias("node"))
         .unionByName(e_dst.select(F.col("dst").alias("node")))
@@ -655,8 +673,13 @@ def clustering_coefficient(
     the final per-node join is on the uniform node key. Fully
     SQL-expressible => full q86 oracle.
     """
-    deg = degrees(edges)
-    tri = triangle_counts(edges)
+    # persist the slim list once (r6b, guide §5): degrees here AND the
+    # whole triangle machinery below both expand ``edges``; the final
+    # join runs as its own action, which re-ran the co-occurrence build
+    # a second time uncached
+    e = edges.select("src", "dst").persist()
+    deg = degrees(e)
+    tri = triangle_counts(e)  # eager: returns a checkpointed frame
     cc = F.when(
         F.col("degree") >= 2,
         (F.lit(2.0) * F.col("n_triangles").cast("double"))
@@ -669,6 +692,9 @@ def clustering_coefficient(
         "node", "degree", "n_triangles",
         (F.round(cc, round_to) if round_to is not None else cc).alias("cc"),
     )
+    # pin before releasing the cache the lazy deg side still references
+    out = out.localCheckpoint()
+    e.unpersist()
     return out
 
 
@@ -710,7 +736,11 @@ def adamic_adar(
     reported score-mass loss. None (default) keeps the exact
     definition; callers feeding untrusted edge lists should set it.
     """
-    deg = degrees(edges)
+    # single-action operator: exchange reuse dedups the repeated
+    # ``edges`` subtrees within the one plan — a persist + checkpoint
+    # here measured as pure overhead (see triangle_counts)
+    e0 = edges.select("src", "dst")
+    deg = degrees(e0)
     if max_apex_degree is not None:
         if metrics is not None:
             over = (
@@ -726,7 +756,7 @@ def adamic_adar(
             metrics["capped_apexes"] = over["n"]
             metrics["capped_wedge_rows"] = int(over["w"])
         deg = deg.where(F.col("degree") <= max_apex_degree)
-    adj = _symmetric(edges).join(
+    adj = _symmetric(e0).join(
         deg.withColumnRenamed("node", "src"), "src")
     # wedge at apex=src: every dst pair (b < c) sharing the apex
     left = adj.select(F.col("src").alias("_z"), F.col("dst").alias("a"),
@@ -745,8 +775,8 @@ def adamic_adar(
         )
     )
     if exclude_existing:
-        e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        pairs = pairs.join(e, ["a", "b"], "left_anti")
+        ex = e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        pairs = pairs.join(ex, ["a", "b"], "left_anti")
     return pairs.where(F.col("aa") >= min_score)
 
 
@@ -817,16 +847,20 @@ def personalized_pagerank(
     localCheckpoint per step. The q98 oracle unrolls the identical
     updates.
     """
-    deg = degrees(edges).persist()
+    # slim canonical list persisted once (r6b, guide §5): degrees and
+    # the symmetric adjacency both expand the (usually lazy) builder
+    e = edges.select("src", "dst").persist()
+    deg = degrees(e).persist()
     seed_nodes = deg.join(
         seeds.select("node").distinct(), "node", "left_semi")
     ns = seed_nodes.count()
     if ns == 0:
         deg.unpersist()
+        e.unpersist()
         raise ValueError(
             "personalized_pagerank: no seed appears in the graph")
     adj = (
-        _symmetric(edges)
+        _symmetric(e)
         .join(deg.withColumnRenamed("node", "src"), "src")
         .repartition("src")
         .persist()
@@ -864,4 +898,5 @@ def personalized_pagerank(
     out = out.localCheckpoint()
     adj.unpersist()
     deg.unpersist()
+    e.unpersist()
     return out
