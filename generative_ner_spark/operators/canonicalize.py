@@ -555,11 +555,14 @@ def connected_components(
         prev, prev_sig = ss, sig
         # no distinct (r6): ss is deduplicated and strictly l > s, so the
         # two directed copies cannot collide — the r5 distinct re-shuffled
-        # 2x the round's edges for nothing
+        # 2x the round's edges for nothing. And no localCheckpoint (r6b):
+        # ss IS checkpointed above, so this union is two shallow scans of
+        # that RDD — materializing it again copied 2x the round's edges
+        # to disk per round for a frame the next round's single action
+        # reads once per star.
         cur = (
             ss.select(F.col("l").alias("u"), F.col("s").alias("v"))
             .union(ss.select(F.col("s").alias("u"), F.col("l").alias("v")))
-            .localCheckpoint()
         )
     if stars is None:
         stars = prev  # best effort at max_iter (same contract as before)

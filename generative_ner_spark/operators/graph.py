@@ -319,12 +319,18 @@ def khop_neighbors(
     the final union is k shallow scans, not a k-deep join tree.
     """
     adj = _symmetric(edges).repartition("src").persist()
-    visited = (
+    # hop frames accumulate as SEPARATE checkpointed frames (r6b): the
+    # per-hop anti-join consumes the visited set as a LAZY union of
+    # those shallow scans, so the r5 per-hop visited-union checkpoint —
+    # which re-materialized the whole history every hop, O(k^2) rows —
+    # is gone; only each hop's own (new) frontier is materialized.
+    hops = [
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
         .localCheckpoint()
-    )
+    ]
+    visited = hops[0]
     frontier = visited.select("node")
     for i in range(1, k + 1):
         nxt = (
@@ -337,7 +343,8 @@ def khop_neighbors(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        hops.append(nxt)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     adj.unpersist()
     return visited
