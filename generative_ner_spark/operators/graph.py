@@ -300,6 +300,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return out
 
 
+def _adjacency_lists(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list -> ``(src, _nb)`` with ``_nb`` the
+    dst-SORTED neighbor array of src (duplicates retained, mirroring the
+    row form). The per-step/hop probe structure for frontier iterations
+    (r6c, guide §2.3/§2.4): the row-form adjacency join re-shuffled and
+    re-SORTED the full 2E-row frame on every iteration (a two-key
+    (src, rank) equi-join defeats the src-only cache partitioning; even
+    the one-key form re-sorts 2E rows per step because a groupBy cache
+    carries no ordering). The array form is |V| rows; the in-partition
+    ``sortWithinPartitions`` is paid ONCE and recorded in the cache's
+    outputOrdering, so every later sort-merge join against ``src``
+    skips both the exchange AND the sort. Neighbor arrays never cross
+    an exchange: consumers element_at/explode them in the join
+    projection. A hub's array is one row in one partition — the same
+    per-partition bound as the collect_list in triangle_counts."""
+    return (
+        _symmetric(edges)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("_nb"))
+        .sortWithinPartitions("src")
+    )
+
+
 def khop_neighbors(
     edges: DataFrame,
     seeds: DataFrame,
@@ -317,8 +340,18 @@ def khop_neighbors(
     per hop is O(frontier x avg-degree), never O(visited). Early-exits
     when a frontier empties. Each hop's frames are localCheckpointed so
     the final union is k shallow scans, not a k-deep join tree.
+
+    The adjacency is persisted partitioned AND in-partition sorted by
+    ``src`` (r6c): the cache records the sort order, so when the
+    per-hop join planner picks sort-merge (a large frontier at scale),
+    the 2E-row side skips both its exchange and its per-hop re-sort —
+    only the slim frontier moves. (The neighbor-ARRAY form used by
+    ``random_walks`` measured SLOWER here: khop's hops are cheap single
+    -key probes already, and the collect_list build costs more than the
+    three probes combined.)
     """
-    adj = _symmetric(edges).repartition("src").persist()
+    adj = (_symmetric(edges).repartition("src")
+           .sortWithinPartitions("src").persist())
     # hop frames accumulate as SEPARATE checkpointed frames (r6b): the
     # per-hop anti-join consumes the visited set as a LAZY union of
     # those shallow scans, so the r5 per-hop visited-union checkpoint —
@@ -372,27 +405,23 @@ def random_walks(
     walks on any cluster size — and the q69 DuckDB oracle replays them
     exactly. No RNG state, no driver loop over nodes.
 
-    Scale shape: the rank-annotated symmetric adjacency is built once
-    (one window over (src sorted-by dst) — per-node degree bound, hubs
-    are one partition's rows, not one row) and persisted. Each step is
-    two slim equi-joins: frontier x degree (to compute the mod) and
-    (src, rank) x adjacency (to fetch the neighbor) — never a per-walk
-    explode of a hub's neighbor list. Frontiers are localCheckpointed
-    per step; a walk from a degree-0 seed emits its start row only.
+    Scale shape (r6c): the adjacency rides as the dst-SORTED neighbor
+    ARRAY per node (``_adjacency_lists``, |V| rows, ordering recorded in
+    the cache so per-step joins skip both exchange and sort on the
+    adjacency side). Each step is ONE single-key equi-join: the degree
+    is ``size(_nb)`` and the chosen neighbor ``element_at(_nb, rank+1)``
+    — both evaluated in the join projection, so neither the degree
+    frame, the rank-annotated 2E-row frame, nor any neighbor array ever
+    crosses an exchange. (The r6 row form was two joins per step; its
+    (src, rank) equi-join re-shuffled AND re-sorted the full 2E-row
+    adjacency every step — measured 5-6 s/step on a 24M-row adjacency
+    vs <1 s for this form.) A hub's array is one row in one partition;
+    the join output projects a single element from it. Frontiers are
+    localCheckpointed per step; a walk from a degree-0 seed emits its
+    start row only (inner join: no _nb row, walk stops).
     """
-    from pyspark.sql import Window
-
     sym = _symmetric(edges)
-    wdeg = Window.partitionBy("src").orderBy("dst")
-    adj = (
-        sym.withColumn("_rank", F.row_number().over(wdeg) - 1)
-        .repartition("src")
-        .persist()
-    )
-    # persisted: the mod-degree join probes this every step — unpersisted
-    # it re-ran the 2E-row adjacency aggregate once per walk step (r6)
-    deg = adj.groupBy(F.col("src").alias("_cur")).agg(
-        F.count("*").alias("_deg")).persist()
+    adj = _adjacency_lists(edges).persist()
     start_nodes = (
         seeds.select(F.col(node_col).alias("node")).distinct()
         if seeds is not None
@@ -430,11 +459,15 @@ def random_walks(
             F.concat_ws(":", F.col("walk_id").cast("string"),
                         F.lit(str(i))), salt)
         nxt = (
-            frontier.join(deg, "_cur")  # inner: degree-0 walks stop here
-            .withColumn("_rank", F.pmod(h, F.col("_deg")))
-            .join(adj.withColumnRenamed("src", "_cur"), ["_cur", "_rank"])
-            .select("walk_id", "start_node", F.lit(i).alias("step"),
-                    F.col("dst").alias("node"))
+            frontier  # inner join: degree-0 walks stop here (no _nb row)
+            .join(adj.withColumnRenamed("src", "_cur"), "_cur")
+            .select(
+                "walk_id", "start_node", F.lit(i).alias("step"),
+                F.element_at(
+                    "_nb",
+                    (F.pmod(h, F.size("_nb")) + F.lit(1)).cast("int"),
+                ).alias("node"),
+            )
             .localCheckpoint()
         )
         if nxt.isEmpty():
@@ -443,7 +476,6 @@ def random_walks(
         frontier = nxt.select("walk_id", "start_node",
                               F.col("node").alias("_cur"))
     adj.unpersist()
-    deg.unpersist()
     visited = steps[0]
     for s in steps[1:]:
         visited = visited.unionByName(s)
