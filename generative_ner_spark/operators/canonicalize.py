@@ -522,7 +522,13 @@ def connected_components(
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        # NO .distinct() (r6c): it cost a full exchange of the 2E-row
+        # symmetrized set before round 1, and no round needs it — both
+        # stars' min-aggregates ignore duplicates, _small_star ends in
+        # its own .distinct(), and from round 2 on ``cur`` is rebuilt
+        # from the already-deduplicated star output. Duplicate INPUT
+        # edges (a generic caller's) only add round-1 join rows, never
+        # change the fixpoint.
         .localCheckpoint()  # cut the upstream (LSH) DAG once, or every
         # round re-runs the whole blocking plan
     )

@@ -420,12 +420,15 @@ def random_walks(
     localCheckpointed per step; a walk from a degree-0 seed emits its
     start row only (inner join: no _nb row, walk stops).
     """
-    sym = _symmetric(edges)
     adj = _adjacency_lists(edges).persist()
+    # default start set = every node touching an edge == exactly adj's
+    # (unique) src keys: reading it off the persisted frame avoids a
+    # SECOND expansion of the (usually lazy) upstream edge build that
+    # the r6c form paid for the symmetric-distinct (guide §5)
     start_nodes = (
         seeds.select(F.col(node_col).alias("node")).distinct()
         if seeds is not None
-        else sym.select(F.col("src").alias("node")).distinct()
+        else adj.select(F.col("src").alias("node"))
     )
     # walk_id is a STRING key ("node:w"): node * walks_per_node + w
     # would be an ANSI long multiply that THROWS on hash-derived ids
